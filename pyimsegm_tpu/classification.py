@@ -1,0 +1,416 @@
+"""Supervised classification: classifier zoo, CV iterators, balancing,
+hyper-parameter search, persistence.
+
+Counterpart of `/root/reference/imsegm/classification.py`, with every
+classifier trained and evaluated on device (see
+``pyimsegm_tpu.models.forest`` / ``linear``):
+
+=============  =====================================================
+name           implementation
+=============  =====================================================
+RandForest     vectorised level-synchronous random forest (default)
+GradBoost      forest with deeper trees + lower feature subsampling
+DecTree        single deep tree (forest with n_trees=1)
+AdaBoost       forest variant (uniform-weight ensemble)
+LogistRegr     multinomial logistic regression (full-batch Adam)
+SVM            one-vs-rest squared-hinge linear SVM, softmax-calibrated
+KNN            brute-force kNN via MXU distance matmul
+MLP            one-hidden-layer network
+=============  =====================================================
+
+The CV iterators (:class:`HoldOut`, :class:`CrossValidate`,
+:class:`CrossValidateGroups`) replicate the reference's group-aware
+leave-P-images-out semantics (`classification.py:1401-1716`).
+"""
+
+import logging
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyimsegm_tpu.models import forest as forest_mod
+from pyimsegm_tpu.models import linear as linear_mod
+from pyimsegm_tpu.utils.metrics import compute_classif_metrics  # noqa: F401
+
+#: default classifier (`classification.py:54`)
+DEFAULT_CLASSIF_NAME = 'RandForest'
+#: default clustering for unsupervised pipelines
+DEFAULT_CLUSTERING = 'GMM'
+#: file name pattern for persisted classifiers (`classification.py:52`)
+TEMPLATE_NAME_CLF = 'classifier_{}.pkl'
+
+
+class Classifier:
+    """Scaler + on-device classifier with the sklearn-ish surface the
+    pipelines rely on (``fit`` / ``predict`` / ``predict_proba`` /
+    ``classes_``)."""
+
+    def __init__(self, name=DEFAULT_CLASSIF_NAME, pca_coef=None, seed=0,
+                 **hyper):
+        self.name = name
+        self.pca_coef = pca_coef
+        self.seed = seed
+        self.hyper = dict(hyper)
+        self.classes_ = None
+        self._params = None
+        self._scaler = None
+        self._pca = None
+
+    # -------------------------------------------------------------- fit ---
+    def fit(self, features, labels, sample_weight=None):
+        x = np.asarray(features, np.float32)
+        y = np.asarray(labels)
+        self.classes_ = np.unique(y)
+        y_dense = np.searchsorted(self.classes_, y).astype(np.int32)
+        n_classes = len(self.classes_)
+        w = (np.ones(len(x), np.float32) if sample_weight is None
+             else np.asarray(sample_weight, np.float32))
+
+        mu, sd = x.mean(0), x.std(0) + 1e-12
+        self._scaler = (mu, sd)
+        xs = (x - mu) / sd
+        if self.pca_coef is not None:
+            cov = np.cov(xs.T)
+            eigval, eigvec = np.linalg.eigh(np.atleast_2d(cov))
+            order = np.argsort(eigval)[::-1]
+            eigval, eigvec = eigval[order], eigvec[:, order]
+            ratio = np.cumsum(eigval) / max(eigval.sum(), 1e-30)
+            ncomp = int(np.searchsorted(ratio, self.pca_coef) + 1)
+            self._pca = eigvec[:, :ncomp]
+            xs = xs @ self._pca
+
+        key = jax.random.PRNGKey(self.seed)
+        xs_d = jnp.asarray(xs)
+        y_d = jnp.asarray(y_dense)
+        w_d = jnp.asarray(w)
+        h = self.hyper
+        if self.name in ('RandForest', 'AdaBoost'):
+            self._params = forest_mod.forest_fit(
+                key, xs_d, y_d, w_d, n_classes,
+                n_trees=h.get('n_trees', 32), depth=h.get('depth', 8),
+                n_candidates=h.get('n_candidates', 8))
+        elif self.name == 'GradBoost':
+            self._params = forest_mod.forest_fit(
+                key, xs_d, y_d, w_d, n_classes,
+                n_trees=h.get('n_trees', 64), depth=h.get('depth', 5),
+                n_candidates=h.get('n_candidates', 16))
+        elif self.name == 'DecTree':
+            self._params = forest_mod.forest_fit(
+                key, xs_d, y_d, w_d, n_classes, n_trees=1,
+                depth=h.get('depth', 12), n_candidates=h.get('n_candidates', 32),
+                bootstrap=False)
+        elif self.name == 'LogistRegr':
+            self._params = linear_mod.logistic_fit(
+                key, xs_d, y_d, w_d, n_classes, l2=h.get('l2', 1e-4),
+                steps=h.get('steps', 300))
+        elif self.name == 'SVM':
+            self._params = linear_mod.linear_svm_fit(
+                key, xs_d, y_d, w_d, n_classes, c_reg=h.get('C', 1.0),
+                steps=h.get('steps', 400))
+        elif self.name == 'MLP':
+            self._params = linear_mod.mlp_fit(
+                key, xs_d, y_d, w_d, n_classes, hidden=h.get('hidden', 64),
+                steps=h.get('steps', 500))
+        elif self.name == 'KNN':
+            self._params = linear_mod.knn_fit(xs_d, y_d, w_d, n_classes,
+                                              k=h.get('k', 5))
+        else:
+            raise ValueError('unknown classifier: %r' % self.name)
+        return self
+
+    # ---------------------------------------------------------- predict ---
+    def _transform(self, features):
+        x = np.asarray(features, np.float32)
+        mu, sd = self._scaler
+        xs = (x - mu) / sd
+        if self._pca is not None:
+            xs = xs @ self._pca
+        return jnp.asarray(xs)
+
+    def predict_proba(self, features):
+        if self._params is None:
+            raise RuntimeError('classifier is not fitted')
+        x = self._transform(features)
+        if self.name in ('RandForest', 'GradBoost', 'DecTree', 'AdaBoost'):
+            proba = forest_mod.forest_predict_proba(self._params, x)
+        elif self.name in ('LogistRegr', 'SVM'):
+            proba = linear_mod.logistic_predict_proba(self._params, x)
+        elif self.name == 'MLP':
+            proba = linear_mod.mlp_predict_proba(self._params, x)
+        elif self.name == 'KNN':
+            proba = linear_mod.knn_predict_proba(self._params, x)
+        return np.asarray(proba)
+
+    def predict(self, features):
+        return self.classes_[np.argmax(self.predict_proba(features), axis=1)]
+
+    def score(self, features, labels):
+        return float(np.mean(self.predict(features) == np.asarray(labels)))
+
+
+def create_classifiers(**kwargs):
+    """Name -> unfitted Classifier dict (`classification.py:86-125`)."""
+    names = ('RandForest', 'GradBoost', 'LogistRegr', 'KNN', 'SVM', 'DecTree',
+             'AdaBoost', 'MLP')
+    return {n: Classifier(n, **kwargs) for n in names}
+
+
+#: randomised hyper-parameter distributions (`classification.py:146-258`)
+CLF_PARAM_DISTRIBUTIONS = {
+    'RandForest': {'n_trees': [16, 32, 64], 'depth': [6, 8, 10],
+                   'n_candidates': [4, 8, 16]},
+    'GradBoost': {'n_trees': [32, 64, 96], 'depth': [3, 5, 7]},
+    'DecTree': {'depth': [8, 12, 16]},
+    'AdaBoost': {'n_trees': [16, 32, 64], 'depth': [4, 6, 8]},
+    'LogistRegr': {'l2': [1e-5, 1e-4, 1e-3, 1e-2], 'steps': [200, 400]},
+    'SVM': {'C': [0.1, 1.0, 10.0]},
+    'KNN': {'k': [3, 5, 9, 15]},
+    'MLP': {'hidden': [32, 64, 128], 'steps': [300, 600]},
+}
+
+
+# ------------------------------------------------------------ CV iterators ---
+
+class HoldOut:
+    """Single train/test split at a fixed index
+    (`classification.py:1401-1458`)."""
+
+    def __init__(self, nb_samples, hold_out, rand_seed=None):
+        if hold_out >= nb_samples:
+            raise ValueError('hold_out %i exceeds samples %i'
+                             % (hold_out, nb_samples))
+        self.total = nb_samples
+        self.hold_out = hold_out
+        self._indexes = list(range(nb_samples))
+        if rand_seed is not None and rand_seed is not False:
+            np.random.default_rng(rand_seed).shuffle(self._indexes)
+
+    def __iter__(self):
+        yield (self._indexes[:self.hold_out], self._indexes[self.hold_out:])
+
+    def __len__(self):
+        return 1
+
+
+class CrossValidate:
+    """K-fold-ish CV over samples with hold-out count
+    (`classification.py:1461-1613`)."""
+
+    def __init__(self, nb_samples, nb_hold_out, rand_seed=None, ignore_overflow=0.01):
+        if nb_hold_out > nb_samples:
+            raise ValueError('nb_hold_out %i exceeds samples %i'
+                             % (nb_hold_out, nb_samples))
+        self.nb_samples = nb_samples
+        self.nb_hold_out = nb_hold_out
+        self._indexes = list(range(nb_samples))
+        if rand_seed is not None and rand_seed is not False:
+            np.random.default_rng(rand_seed).shuffle(self._indexes)
+
+    def __iter__(self):
+        for start in range(0, self.nb_samples, self.nb_hold_out):
+            test = self._indexes[start:start + self.nb_hold_out]
+            train = [i for i in self._indexes if i not in set(test)]
+            yield train, test
+
+    def __len__(self):
+        return int(np.ceil(self.nb_samples / float(self.nb_hold_out)))
+
+
+class CrossValidateGroups:
+    """Leave-P-groups-out CV where samples come in per-image blocks of given
+    sizes (`classification.py:1616-1716`)."""
+
+    def __init__(self, set_sizes, nb_hold_out, rand_seed=None):
+        if nb_hold_out > len(set_sizes):
+            raise ValueError('nb_hold_out %i exceeds groups %i'
+                             % (nb_hold_out, len(set_sizes)))
+        self.set_sizes = list(set_sizes)
+        self.nb_hold_out = nb_hold_out
+        offsets = np.cumsum([0] + self.set_sizes)
+        self._group_idx = [list(range(offsets[i], offsets[i + 1]))
+                           for i in range(len(self.set_sizes))]
+        self._order = list(range(len(self.set_sizes)))
+        if rand_seed is not None and rand_seed is not False:
+            np.random.default_rng(rand_seed).shuffle(self._order)
+
+    def __iter__(self):
+        for start in range(0, len(self._order), self.nb_hold_out):
+            test_groups = self._order[start:start + self.nb_hold_out]
+            test = [i for g in test_groups for i in self._group_idx[g]]
+            train = [i for g in self._order if g not in set(test_groups)
+                     for i in self._group_idx[g]]
+            yield train, test
+
+    def __len__(self):
+        return int(np.ceil(len(self.set_sizes) / float(self.nb_hold_out)))
+
+
+# ------------------------------------------------------------- balancing ---
+
+def down_sample_dict_features_random(dict_features, nb_samples, rand_seed=0):
+    """Random down-sampling per label (`classification.py:1083-1107`)."""
+    out = {}
+    rng = np.random.default_rng(rand_seed)
+    for lb, fts in dict_features.items():
+        fts = np.asarray(fts)
+        if len(fts) <= nb_samples:
+            out[lb] = fts
+        else:
+            out[lb] = fts[rng.choice(len(fts), nb_samples, replace=False)]
+    return out
+
+
+def down_sample_dict_features_unique(dict_features):
+    """Keep unique feature rows per label (`classification.py:1159-1180`)."""
+    return {lb: np.unique(np.asarray(fts), axis=0)
+            for lb, fts in dict_features.items()}
+
+
+def down_sample_dict_features_kmean(dict_features, nb_samples, rand_seed=0):
+    """k-means centroids as representatives (`classification.py:1110-1136`)."""
+    from pyimsegm_tpu.models.gmm import kmeans_fit
+    out = {}
+    for lb, fts in dict_features.items():
+        fts = np.asarray(fts, np.float32)
+        if len(fts) <= nb_samples:
+            out[lb] = fts
+            continue
+        centers, _ = kmeans_fit(jax.random.PRNGKey(rand_seed), jnp.asarray(fts),
+                                jnp.ones(len(fts)), nb_samples, n_iter=15)
+        out[lb] = np.asarray(centers)
+    return out
+
+
+def balance_dataset_by_(features, labels, balance_type='unique',
+                        min_samples=None, rand_seed=0):
+    """Balance per-label sample counts (`classification.py:1183-1216`)."""
+    labels = np.asarray(labels)
+    dict_features = {lb: np.asarray(features)[labels == lb]
+                     for lb in np.unique(labels)}
+    if balance_type == 'unique':
+        dict_features = down_sample_dict_features_unique(dict_features)
+    else:
+        if min_samples is None:
+            min_samples = min(len(v) for v in dict_features.values())
+        if balance_type == 'random':
+            dict_features = down_sample_dict_features_random(
+                dict_features, min_samples, rand_seed)
+        elif balance_type == 'kmeans':
+            dict_features = down_sample_dict_features_kmean(
+                dict_features, min_samples, rand_seed)
+        else:
+            raise ValueError('unknown balance_type: %r' % balance_type)
+    fts = np.concatenate([dict_features[lb] for lb in sorted(dict_features)])
+    lbs = np.concatenate([[lb] * len(dict_features[lb])
+                          for lb in sorted(dict_features)])
+    return fts, lbs
+
+
+def convert_set_features_labels_2_dataset(dict_features, dict_labels,
+                                          drop_labels=None, balance_type=None):
+    """Assemble per-image features/labels into one dataset
+    (`classification.py:1219-1262`).
+
+    :returns: (features, labels, sizes) where sizes are per-image retained
+        counts (for group CV).
+    """
+    drop = set(drop_labels or [])
+    list_fts, list_lbs, sizes = [], [], []
+    for key in dict_features:
+        fts = np.asarray(dict_features[key])
+        lbs = np.asarray(dict_labels[key])
+        keep = ~np.isin(lbs, list(drop))
+        fts, lbs = fts[keep], lbs[keep]
+        if balance_type and balance_type != 'none':
+            fts, lbs = balance_dataset_by_(fts, lbs, balance_type=balance_type)
+        list_fts.append(fts)
+        list_lbs.append(lbs)
+        sizes.append(len(lbs))
+    return (np.concatenate(list_fts), np.concatenate(list_lbs), sizes)
+
+
+# ------------------------------------------------------ search/train/export ---
+
+def eval_classif_cross_val_scores(clf_name, features, labels, cross_val=10,
+                                  pca_coef=None, seed=0, **hyper):
+    """Accuracy per CV fold (`classification.py:762-848` condensed)."""
+    features = np.asarray(features)
+    labels = np.asarray(labels)
+    if isinstance(cross_val, int):
+        cross_val = CrossValidate(len(labels), max(1, len(labels) // cross_val),
+                                  rand_seed=seed)
+    scores = []
+    for train_idx, test_idx in cross_val:
+        clf = Classifier(clf_name, pca_coef=pca_coef, seed=seed, **hyper)
+        clf.fit(features[train_idx], labels[train_idx])
+        scores.append(clf.score(features[test_idx], labels[test_idx]))
+    return scores
+
+
+def create_classif_search_train_export(clf_name, features, labels,
+                                       cross_val=10, nb_search_iter=1,
+                                       pca_coef=None, seed=0,
+                                       path_out=None, **_ignored):
+    """Random hyper-parameter search + final fit (+ optional pickle export),
+    matching `classification.py:656-759`.
+
+    :returns: (fitted Classifier, best hyper-params dict)
+    """
+    features = np.asarray(features, np.float32)
+    labels = np.asarray(labels)
+    rng = np.random.default_rng(seed)
+    space = CLF_PARAM_DISTRIBUTIONS.get(clf_name, {})
+    candidates = [{}]
+    for _ in range(max(0, nb_search_iter - 1)):
+        candidates.append({k: v[rng.integers(len(v))] for k, v in space.items()})
+
+    best_hyper, best_score = {}, -np.inf
+    if len(candidates) > 1:
+        for hyper in candidates:
+            scores = eval_classif_cross_val_scores(
+                clf_name, features, labels, cross_val=cross_val,
+                pca_coef=pca_coef, seed=seed, **hyper)
+            score = float(np.mean(scores))
+            logging.debug('search %s %r -> %.4f', clf_name, hyper, score)
+            if score > best_score:
+                best_score, best_hyper = score, hyper
+    classif = Classifier(clf_name, pca_coef=pca_coef, seed=seed, **best_hyper)
+    classif.fit(features, labels)
+    if path_out:
+        save_classifier(path_out, classif, clf_name)
+    return classif, best_hyper
+
+
+def save_classifier(path_out, classif, clf_name='classif'):
+    """Pickle export (`classification.py:547-586`)."""
+    import os
+    path = os.path.join(path_out, TEMPLATE_NAME_CLF.format(clf_name))
+    state = {
+        'name': classif.name, 'pca_coef': classif.pca_coef,
+        'seed': classif.seed, 'hyper': classif.hyper,
+        'classes_': classif.classes_, 'scaler': classif._scaler,
+        'pca': classif._pca,
+        'params': jax.tree_util.tree_map(
+            lambda a: np.asarray(a) if hasattr(a, 'shape') else a,
+            classif._params),
+    }
+    with open(path, 'wb') as fp:
+        pickle.dump(state, fp)
+    return path
+
+
+def load_classifier(path):
+    """Load a pickled classifier (`classification.py:589-612`)."""
+    with open(path, 'rb') as fp:
+        state = pickle.load(fp)
+    clf = Classifier(state['name'], pca_coef=state['pca_coef'],
+                     seed=state['seed'], **state['hyper'])
+    clf.classes_ = state['classes_']
+    clf._scaler = state['scaler']
+    clf._pca = state['pca']
+    clf._params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a) if isinstance(a, np.ndarray) else a,
+        state['params'])
+    return clf

@@ -1,0 +1,225 @@
+"""Label-map algebra and relabeling.
+
+Counterpart of `/root/reference/imsegm/labeling.py`, with the hot overlap
+histograms computed as one device contingency table (segment-sum) instead of
+Python pixel loops; the small LUT manipulations stay host-side numpy.
+"""
+
+import numpy as np
+from scipy import ndimage
+
+from pyimsegm_tpu.utils import ImageDimensionError
+from pyimsegm_tpu.utils.metrics import contingency_table
+
+
+def histogram_regions_labels_counts(slic, segm):
+    """Overlap counts between superpixels and an annotation
+    (`labeling.py:208-242`); (max_slic+1, max_label+1)."""
+    if slic.shape != segm.shape:
+        raise ImageDimensionError('dimension does not agree')
+    segm = np.asarray(segm)
+    if (np.unique(segm) < 0).sum() != 0:
+        raise ValueError('only positive labels are allowed')
+    n_slic = int(np.max(slic)) + 1
+    n_lb = int(segm.max()) + 1
+    return np.asarray(contingency_table(slic, segm, n_slic, n_lb))
+
+
+def histogram_regions_labels_norm(slic, segm, nb_labels=None):
+    """Row-normalised overlap histogram (`labeling.py:245-278`); empty
+    superpixels give zero rows."""
+    hist = histogram_regions_labels_counts(slic, segm)
+    if nb_labels is not None and hist.shape[1] < nb_labels:
+        hist = np.pad(hist, [(0, 0), (0, nb_labels - hist.shape[1])])
+    sums = hist.sum(axis=1, keepdims=True)
+    sums[sums == 0] = -1.0
+    out = hist / sums
+    out[out < 0] = 0.0
+    return out
+
+
+def segm_labels_assignment(segm, segm_gt):
+    """Per-region list of ground-truth labels (`labeling.py:172-204`)."""
+    if segm_gt.shape != segm.shape:
+        raise ImageDimensionError('segm %r and annot %r should match'
+                                  % (segm.shape, segm_gt.shape))
+    labels = np.unique(segm)
+    out = {int(lb): segm_gt[segm == lb].tolist() for lb in labels}
+    return out
+
+
+def assign_label_by_threshold(dict_label_hist, thresh=0.75):
+    """LUT by purity threshold; impure regions get −1 (`labeling.py:300-324`)."""
+    lut = np.zeros(max(dict_label_hist.keys()) + 1, dtype=int) - 1
+    for k, v in dict_label_hist.items():
+        counts = np.bincount(v) / float(len(v))
+        mx = counts.max()
+        if mx > thresh:
+            lut[k] = int(np.argmax(counts))
+    return lut
+
+
+def assign_label_by_max(label_hist):
+    """LUT by majority label (`labeling.py:327-346`)."""
+    lut = np.zeros(max(label_hist.keys()) + 1, dtype=int) - 1
+    for k, v in label_hist.items():
+        lut[k] = int(np.argmax(np.bincount(v)))
+    return lut
+
+
+def convert_segms_2_list(segms):
+    """Flatten segmentations for metric evaluation (`labeling.py:349-361`)."""
+    return np.concatenate([np.asarray(s).ravel() for s in segms]).tolist()
+
+
+def mask_segm_labels(img_labeling, labels, mask_init=None):
+    """Boolean mask of any of the given labels (`labeling.py:364-393`)."""
+    mask = (np.zeros(np.shape(img_labeling), dtype=bool)
+            if mask_init is None else mask_init.copy())
+    for lb in labels:
+        mask |= (np.asarray(img_labeling) == lb)
+    return mask
+
+
+def relabel_by_dict(labels, dict_labels):
+    """Relabel by {new: [old...]} map (`labeling.py:439-456`)."""
+    if not dict_labels:
+        raise ValueError('"dict_labels" is required')
+    labels = np.asarray(labels)
+    out = np.zeros_like(labels)
+    for lb_new, lbs_old in dict_labels.items():
+        for lb_old in lbs_old:
+            out[labels == lb_old] = lb_new
+    return out
+
+
+def merge_probab_labeling_2d(proba, dict_labels):
+    """Merge probability channels by label groups (`labeling.py:459-487`)."""
+    proba = np.asarray(proba)
+    if proba.ndim != 3:
+        raise ValueError('expected (H, W, C) probabilities')
+    if not dict_labels:
+        raise ValueError('"dict_labels" is required')
+    out = np.zeros(proba.shape[:2] + (max(dict_labels) + 1,))
+    for lb_new, lbs_old in dict_labels.items():
+        out[:, :, lb_new] = proba[:, :, lbs_old].sum(axis=-1)
+    return out
+
+
+def compute_labels_overlap_matrix(seg1, seg2):
+    """Integer overlap matrix of two segmentations (`labeling.py:490-523`);
+    negative labels are ignored."""
+    seg1 = np.asarray(seg1)
+    seg2 = np.asarray(seg2)
+    if seg1.shape != seg2.shape:
+        raise ImageDimensionError('segm %r and segm %r should match'
+                                  % (seg1.shape, seg2.shape))
+    sel = (seg1 >= 0) & (seg2 >= 0)
+    n1, n2 = int(seg1.max()) + 1, int(seg2.max()) + 1
+    return np.asarray(contingency_table(seg1[sel], seg2[sel], n1, n2)).astype(int)
+
+
+def relabel_max_overlap_unique(seg_ref, seg_relabel, keep_bg=False):
+    """1-1 greedy max-overlap relabeling (`labeling.py:526-614`)."""
+    if seg_ref.shape != seg_relabel.shape:
+        raise ImageDimensionError('Reference segm. %r and input segm. %r should match'
+                                  % (seg_ref.shape, seg_relabel.shape))
+    overlap = compute_labels_overlap_matrix(seg_ref, seg_relabel)
+    lut = [-1] * (int(np.max(seg_relabel)) + 1)
+    if keep_bg:
+        lut[0] = 0
+        overlap[0, :] = 0
+        overlap[:, 0] = 0
+    for _ in range(max(overlap.shape) + 1):
+        if overlap.sum() == 0:
+            break
+        lb_ref, lb_est = np.argwhere(overlap == overlap.max())[0]
+        lut[lb_est] = lb_ref
+        overlap[lb_ref, :] = 0
+        overlap[:, lb_est] = 0
+    for i, lb in enumerate(lut):
+        if lb == -1 and i not in lut:
+            lut[i] = i
+    for i, lb in enumerate(lut):
+        if lb > -1:
+            continue
+        for j in range(len(lut)):
+            if j not in lut:
+                lut[i] = j
+    seg_new = np.array(lut)[seg_relabel].astype(int)
+    seg_new[seg_relabel < 0] = seg_relabel[seg_relabel < 0]
+    return seg_new
+
+
+def relabel_max_overlap_merge(seg_ref, seg_relabel, keep_bg=False):
+    """Merging max-overlap relabeling (`labeling.py:617-681`)."""
+    if seg_ref.shape != seg_relabel.shape:
+        raise ImageDimensionError('Ref. segm %r and segm %r should match'
+                                  % (seg_ref.shape, seg_relabel.shape))
+    overlap = compute_labels_overlap_matrix(seg_ref, seg_relabel)
+    max_axis = 1 if overlap.shape[0] > overlap.shape[1] else 0
+    if keep_bg:
+        id_max = np.argmax(overlap[1:, 1:], axis=max_axis) + 1
+        lut = np.array([0] + id_max.tolist())
+    else:
+        lut = np.argmax(overlap, axis=max_axis)
+    ptn_sum = np.sum(overlap, axis=0)
+    if 0 in ptn_sum:
+        lut = np.asarray(lut)
+        lut[ptn_sum == 0] = np.arange(len(lut))[ptn_sum == 0]
+    seg_new = np.asarray(lut)[seg_relabel].astype(int)
+    seg_new[seg_relabel < 0] = seg_relabel[seg_relabel < 0]
+    return seg_new
+
+
+def find_boundaries(segm):
+    """'thick' boundaries: pixels whose conn4 neighborhood contains another
+    label (equivalent of ``skimage.segmentation.find_boundaries(mode='thick')``)."""
+    segm = np.asarray(segm)
+    b = np.zeros(segm.shape, dtype=bool)
+    b[:-1, :] |= segm[:-1, :] != segm[1:, :]
+    b[1:, :] |= segm[1:, :] != segm[:-1, :]
+    b[:, :-1] |= segm[:, :-1] != segm[:, 1:]
+    b[:, 1:] |= segm[:, 1:] != segm[:, :-1]
+    return b
+
+
+def compute_boundary_distances(segm_ref, segm):
+    """Distances from reference boundary pixels to the nearest segmentation
+    boundary (`labeling.py:684-716`)."""
+    if segm_ref.shape != segm.shape:
+        raise ImageDimensionError('Ref. segm %r and segm %r should match'
+                                  % (segm_ref.shape, segm.shape))
+    ref_b = find_boundaries(segm_ref)
+    seg_b = find_boundaries(segm)
+    dist_map = ndimage.distance_transform_edt(~seg_b)
+    points = np.argwhere(ref_b)
+    return points, dist_map[ref_b].ravel()
+
+
+def get_image2d_boundary_color(segm, size=1):
+    """Majority label on the image boundary ring (reference
+    `data_io.py:1002`)."""
+    segm = np.asarray(segm)
+    ring = np.concatenate([
+        segm[:size, :].ravel(), segm[-size:, :].ravel(),
+        segm[:, :size].ravel(), segm[:, -size:].ravel()])
+    vals, cnt = np.unique(ring, return_counts=True)
+    return int(vals[np.argmax(cnt)])
+
+
+def assume_bg_on_boundary(segm, bg_label=0, boundary_size=1):
+    """Swap labels so the dominant boundary label becomes background
+    (`labeling.py:719-754`)."""
+    segm = np.asarray(segm)
+    boundary_lb = get_image2d_boundary_color(segm, size=boundary_size)
+    used = np.unique(segm)
+    if boundary_lb not in used:
+        segm = segm.copy()
+        segm[segm == boundary_lb] = bg_label
+    else:
+        lut = list(range(int(used.max()) + 1))
+        lut[boundary_lb] = bg_label
+        lut[bg_label] = boundary_lb
+        segm = np.array(lut)[segm]
+    return segm

@@ -1,0 +1,115 @@
+"""Color-space conversions as pure jax.numpy ops.
+
+The reference converts RGB images with ``skimage.color`` before computing
+per-superpixel statistics (`imsegm/utilities/data_io.py:28-43`,
+`imsegm/descriptors.py:1244-1251`).  Here every conversion is an elementwise
+jnp expression so XLA fuses it straight into the downstream segment
+reductions; all functions accept float arrays in [0, 1] of shape (..., 3).
+"""
+
+import jax.numpy as jnp
+
+# sRGB <-> linear-RGB companding and the D65 RGB->XYZ matrix (IEC 61966-2-1).
+_RGB2XYZ = jnp.array([
+    [0.412453, 0.357580, 0.180423],
+    [0.212671, 0.715160, 0.072169],
+    [0.019334, 0.119193, 0.950227],
+], dtype=jnp.float32)
+
+# D65 reference white for CIE Lab / Luv.
+_XN, _YN, _ZN = 0.95047, 1.0, 1.08883
+
+# Ruifrok & Johnston H&E-DAB stain separation matrix (rows = stains in RGB-OD
+# space); the same constants used by skimage.color.hed2rgb/rgb2hed.
+_HED_RGB = jnp.array([
+    [0.65, 0.70, 0.29],
+    [0.07, 0.99, 0.11],
+    [0.27, 0.57, 0.78],
+], dtype=jnp.float32)
+_HED_FROM_RGB = jnp.linalg.inv(_HED_RGB)
+
+
+def _srgb_to_linear(rgb):
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+    return jnp.where(rgb > 0.04045, ((rgb + 0.055) / 1.055) ** 2.4, rgb / 12.92)
+
+
+def rgb2xyz(rgb):
+    lin = _srgb_to_linear(rgb)
+    return lin @ _RGB2XYZ.T
+
+
+def _lab_f(t):
+    eps = (6.0 / 29.0) ** 3
+    return jnp.where(t > eps, jnp.cbrt(t), t / (3 * (6.0 / 29.0) ** 2) + 4.0 / 29.0)
+
+
+def rgb2lab(rgb):
+    xyz = rgb2xyz(rgb)
+    fx = _lab_f(xyz[..., 0] / _XN)
+    fy = _lab_f(xyz[..., 1] / _YN)
+    fz = _lab_f(xyz[..., 2] / _ZN)
+    lum = 116.0 * fy - 16.0
+    a = 500.0 * (fx - fy)
+    b = 200.0 * (fy - fz)
+    return jnp.stack([lum, a, b], axis=-1)
+
+
+def rgb2luv(rgb):
+    xyz = rgb2xyz(rgb)
+    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    denom = x + 15.0 * y + 3.0 * z
+    denom = jnp.where(denom == 0, 1.0, denom)
+    up = 4.0 * x / denom
+    vp = 9.0 * y / denom
+    un = 4.0 * _XN / (_XN + 15.0 * _YN + 3.0 * _ZN)
+    vn = 9.0 * _YN / (_XN + 15.0 * _YN + 3.0 * _ZN)
+    yr = y / _YN
+    lum = jnp.where(yr > (6.0 / 29.0) ** 3, 116.0 * jnp.cbrt(yr) - 16.0, (29.0 / 3.0) ** 3 * yr)
+    u = 13.0 * lum * (up - un)
+    v = 13.0 * lum * (vp - vn)
+    return jnp.stack([lum, u, v], axis=-1)
+
+
+def rgb2hsv(rgb):
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    v = jnp.max(rgb, axis=-1)
+    mn = jnp.min(rgb, axis=-1)
+    delta = v - mn
+    safe = jnp.where(delta == 0, 1.0, delta)
+    h = jnp.where(
+        v == r, (g - b) / safe,
+        jnp.where(v == g, 2.0 + (b - r) / safe, 4.0 + (r - g) / safe),
+    )
+    h = jnp.where(delta == 0, 0.0, (h / 6.0) % 1.0)
+    s = jnp.where(v == 0, 0.0, delta / jnp.where(v == 0, 1.0, v))
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def rgb2hed(rgb):
+    od = -jnp.log10(jnp.maximum(rgb, 1e-6))
+    return od @ _HED_FROM_RGB.T.astype(od.dtype)
+
+
+def rgb2gray(rgb):
+    # ITU-R BT.601 luma weights (as skimage.color.rgb2gray).
+    return rgb @ jnp.array([0.2125, 0.7154, 0.0721], dtype=rgb.dtype)
+
+
+#: conversions selectable by name in feature flags like ``color_lab``
+#: (reference option space at `imsegm/utilities/data_io.py:28-43`).
+CONVERT_FROM_RGB = {
+    'rgb': lambda x: x,
+    'xyz': rgb2xyz,
+    'lab': rgb2lab,
+    'luv': rgb2luv,
+    'hsv': rgb2hsv,
+    'hed': rgb2hed,
+}
+
+
+def convert_img_color_from_rgb(image, color_space):
+    """Convert an RGB float image to the named color space."""
+    if color_space not in CONVERT_FROM_RGB:
+        raise ValueError('unknown color space: %r (have %r)' % (color_space, sorted(CONVERT_FROM_RGB)))
+    return CONVERT_FROM_RGB[color_space](image)

@@ -1,0 +1,162 @@
+"""Leung-Malik texture filter bank, evaluated as one batched TPU convolution.
+
+The reference builds the LM bank in numpy and convolves each filter
+separately on the host with ``scipy.ndimage.convolve``
+(`/root/reference/imsegm/descriptors.py:903-978`) — ~49 33x33 convolutions
+per channel.  Here the whole bank is stacked into a single
+``lax.conv_general_dilated`` call with the image channels folded into the
+batch dimension, so XLA tiles one big convolution onto the MXU; orientation
+maxima and the per-battery response normalisation
+(`descriptors.py:1021-1027,1088-1094`) are fused elementwise epilogues.
+
+Bank composition per sigma in ``(sqrt(2), 2, 2*sqrt(2), 4)``
+(`descriptors.py:38,903-948`): oriented edge + bar batteries (max over
+``nb_orient`` rotations), isotropic Gaussian, Laplacian-of-Gaussian at sigma
+and sigma**2 — i.e. 5 named batteries per sigma.
+"""
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+#: sigmas of the full and short LM banks (`descriptors.py:38-40`)
+DEFAULT_FILTERS_SIGMAS = (math.sqrt(2), 2.0, 2 * math.sqrt(2), 4.0)
+SHORT_FILTERS_SIGMAS = (math.sqrt(2), 2.0, 4.0)
+
+#: response clamp preventing overflow (`descriptors.py:55`)
+MAX_SIGNAL_RESPONSE = 1.0e6
+
+
+def _gaussian_1d(vals, sigma, order=0):
+    response = np.exp(-vals ** 2 / (2.0 * sigma ** 2))
+    if order == 1:
+        response = -response * vals
+    elif order == 2:
+        response = response * (vals ** 2 - sigma ** 2)
+    return response / np.abs(response).sum()
+
+
+def _edge_filter_2d(sigma, phase, points, support):
+    gx = _gaussian_1d(points[0, :], sigma=3 * sigma)
+    gy = _gaussian_1d(points[1, :], sigma=sigma, order=phase)
+    ft = (gx * gy).reshape(support, support)
+    return ft / np.abs(ft).sum()
+
+
+def _gaussian_2d(support, sigma, laplace=False):
+    radius = support // 2
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    g1 = np.exp(-0.5 * (x / sigma) ** 2)
+    g1 /= g1.sum()
+    g2d = np.outer(g1, g1)
+    if not laplace:
+        return g2d
+    # Laplacian of Gaussian via second-derivative separable components,
+    # matching scipy.ndimage.gaussian_laplace on a unit impulse.
+    gdd = (x ** 2 / sigma ** 4 - 1.0 / sigma ** 2) * g1
+    return np.outer(gdd, g1) + np.outer(g1, gdd)
+
+
+class FilterBank(NamedTuple):
+    """Static LM bank: stacked kernels + battery slicing metadata."""
+    kernels: np.ndarray        # (n_filters, support, support) float32
+    battery_slices: tuple      # per battery: (start, stop) into n_filters
+    names: tuple               # per battery name, e.g. 'sigma1.4-edge'
+
+
+def create_filter_bank_lm_2d(radius=16, sigmas=DEFAULT_FILTERS_SIGMAS, nb_orient=8) -> FilterBank:
+    """Build the LM bank with the reference's exact filter definitions
+    (`descriptors.py:903-948`)."""
+    support = 2 * radius + 1
+    x, y = np.mgrid[-radius:radius + 1, radius:-radius - 1:-1]
+    org_pts = np.vstack([x.ravel(), y.ravel()])
+
+    kernels, slices, names = [], [], []
+    pos = 0
+
+    def push(battery, name):
+        nonlocal pos
+        kernels.extend(battery)
+        slices.append((pos, pos + len(battery)))
+        names.append(name)
+        pos += len(battery)
+
+    for sigma in sigmas:
+        edges, bars = [], []
+        for orient in range(nb_orient):
+            angle = np.pi * orient / nb_orient
+            c, s = np.cos(angle), np.sin(angle)
+            pts = np.dot(np.array([[c, -s], [s, c]]), org_pts)
+            edges.append(_edge_filter_2d(sigma, 1, pts, support))
+            bars.append(_edge_filter_2d(sigma, 2, pts, support))
+        tag = 'sigma%.1f' % sigma
+        push(edges, '%s-edge' % tag)
+        push(bars, '%s-bar' % tag)
+        push([_gaussian_2d(support, sigma)], '%s-Gauss' % tag)
+        push([_gaussian_2d(support, sigma, laplace=True)], '%s-GaussLap' % tag)
+        push([_gaussian_2d(support, sigma ** 2, laplace=True)], '%s-GaussLap2' % tag)
+
+    stack = np.stack(kernels).astype(np.float32)
+    return FilterBank(stack, tuple(slices), tuple(names))
+
+
+def filter_bank_response(image, bank: FilterBank):
+    """Convolve all bank filters with every channel in one MXU pass.
+
+    :param image: (H, W, C) float32 (already background-subtracted)
+    :param bank: static bank
+    :returns: (n_batteries, H, W, C) responses with orientation-max and the
+        reference normalisation ``r * log(1+||r||)/0.03/||r||`` applied per
+        battery (norm over all channels jointly, `descriptors.py:1088-1094`).
+    """
+    h, w, c = image.shape
+    n_f, support, _ = bank.kernels.shape
+    # scipy.ndimage.convolve flips the kernel relative to correlation and uses
+    # reflect-style padding; lax conv computes correlation, so pre-flip.
+    k = jnp.asarray(bank.kernels[:, ::-1, ::-1])[:, None]    # (F, 1, s, s)
+    pad = support // 2
+    x = jnp.moveaxis(image, -1, 0)[:, None]                  # (C, 1, H, W)
+    # scipy's default boundary mode 'reflect' duplicates the edge sample,
+    # which is numpy/jnp 'symmetric'
+    x = jnp.pad(x, [(0, 0), (0, 0), (pad, pad), (pad, pad)], mode='symmetric')
+    resp = jax.lax.conv_general_dilated(
+        x, k, window_strides=(1, 1), padding='VALID',
+        dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
+        preferred_element_type=jnp.float32)                  # (C, F, H, W)
+
+    outs = []
+    for (start, stop), _name in zip(bank.battery_slices, bank.names):
+        battery = resp[:, start:stop]                        # (C, nb, H, W)
+        r = jnp.max(battery, axis=1) if stop - start > 1 else battery[:, 0]
+        r = jnp.minimum(r, MAX_SIGNAL_RESPONSE)
+        norm = jnp.sqrt(jnp.sum(r * r))
+        scale = jnp.where(norm > 0, jnp.log1p(norm) / 0.03 / jnp.maximum(norm, 1e-30), 0.0)
+        r = r * scale
+        outs.append(jnp.moveaxis(r, 0, -1))                  # (H, W, C)
+    return jnp.stack(outs)
+
+
+def subtract_background(image, sigma=150.0, downsample=8):
+    """``img - gaussian_filter(img, 150)`` (`descriptors.py:1078`).
+
+    A sigma=150 blur is near-global; we compute it at 1/``downsample``
+    resolution and bilinearly upsample — numerically indistinguishable at this
+    sigma and ~60x cheaper.  scipy's nd filter also blurs across the channel
+    axis; with sigma=150 over 3 taps that kernel is uniform to ~1e-5, so we
+    use the exact channel mean.
+    """
+    h, w, c = image.shape
+    chan_mixed = jnp.mean(image, axis=-1, keepdims=True)
+    chan_mixed = jnp.broadcast_to(chan_mixed, image.shape)
+    ds = downsample
+    ph, pw = (-h) % ds, (-w) % ds
+    x = jnp.pad(chan_mixed, [(0, ph), (0, pw), (0, 0)], mode='edge')
+    hs, ws = x.shape[0] // ds, x.shape[1] // ds
+    small = x.reshape(hs, ds, ws, ds, c).mean(axis=(1, 3))
+    from pyimsegm_tpu.ops.slic import gaussian_blur
+    small = gaussian_blur(small, sigma / ds)
+    big = jax.image.resize(small, (hs * ds, ws * ds, c), method='linear')
+    return image - big[:h, :w]

@@ -1,0 +1,242 @@
+"""TPU-resident MRF energy minimisation on the superpixel graph.
+
+The reference minimises  E(l) = sum_i U_i(l_i) + sum_(ij) w_ij * P(l_i, l_j)
+with C++ alpha-expansion (gco ``cut_general_graph``,
+`/root/reference/imsegm/graph_cuts.py:735-744`).  Here the same energy is
+minimised on device with compiler-friendly iterations:
+
+1. **exact shortcut** — ``gc_regul <= 0`` reduces to per-node argmin of the
+   unary cost (`graph_cuts.py:729-731`), bit-parity with the reference;
+2. **mean-field** — damped categorical mean-field updates: neighbor label
+   beliefs are aggregated with two segment-sums over the (static, padded)
+   edge list and pushed through the pairwise matrix on the MXU;
+3. **ICM polish** — synchronous iterated-conditional-modes sweeps over the
+   mean-field solution, keeping the best-energy labelling seen (guards
+   against oscillation of parallel updates).
+
+For the well-separated energies this pipeline produces (unaries are clipped
+|log p| terms), mean-field+ICM tracks alpha-expansion closely; the native C++
+maxflow oracle in ``pyimsegm_tpu.native`` provides an exact cross-check.
+
+All cost constructions replicate the reference numerics exactly: unary
+clipping at 0.01 (`graph_cuts.py:36,523-540`), pairwise cap 1e5
+(`graph_cuts.py:38`), edge-weight clip to [1e-3, 1e3] (`graph_cuts.py:40`),
+relative-spatial division (`graph_cuts.py:647-650`) and the
+transition-learned pairwise ``log(1/ratio)`` (`graph_cuts.py:796-832`).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyimsegm_tpu.ops import graph as graph_ops
+
+#: minimal class probability in the unary term (`graph_cuts.py:36`)
+MIN_UNARY_PROB = 0.01
+#: maximal pairwise cost (`graph_cuts.py:38`)
+MAX_PAIRWISE_COST = 1e5
+#: max edge weight; min is its inverse (`graph_cuts.py:40`)
+MIN_MAX_EDGE_WEIGHT = 1e3
+
+
+def compute_unary_cost(proba, min_prob=MIN_UNARY_PROB):
+    """``|-log(clip(p, 0.01, 0.99))|`` (`graph_cuts.py:523-540`)."""
+    p = jnp.clip(proba, min_prob, 1.0 - min_prob)
+    return jnp.abs(-jnp.log(p))
+
+
+def create_pairwise_matrix_uniform(gc_regul, nb_classes):
+    """Uniform Potts matrix with zero diagonal (`graph_cuts.py:442-456`)."""
+    return gc_regul * (np.ones((nb_classes, nb_classes)) - np.eye(nb_classes))
+
+
+def create_pairwise_matrix(gc_regul, nb_classes):
+    """Wrapper matching `graph_cuts.py:485-520`: scalar -> uniform;
+    matrix -> shifted by its min; list of ((i,j),w) -> specific matrix."""
+    if isinstance(gc_regul, np.ndarray) or (hasattr(gc_regul, 'ndim') and getattr(gc_regul, 'ndim', 0) == 2):
+        gc_regul = np.asarray(gc_regul)
+        if gc_regul.shape[0] != nb_classes or gc_regul.shape[1] != nb_classes:
+            raise ValueError('GC regul matrix %r should match classes (%i)'
+                             % (gc_regul.shape, nb_classes))
+        return gc_regul - np.min(gc_regul)
+    if isinstance(gc_regul, (list, tuple)):
+        pairwise = np.ones((nb_classes, nb_classes)) - np.eye(nb_classes)
+        for (i, j), w in gc_regul:
+            pairwise[i, j] = w
+            pairwise[j, i] = w
+        return pairwise
+    return create_pairwise_matrix_uniform(float(gc_regul), nb_classes)
+
+
+def compute_pairwise_cost(gc_regul, nb_classes, max_cost=MAX_PAIRWISE_COST):
+    pairwise = create_pairwise_matrix(gc_regul, nb_classes)
+    return np.minimum(np.asarray(pairwise, np.float64), max_cost)
+
+
+def compute_edge_weights(labels, num_segments, image=None, features=None,
+                         proba=None, edge_type='', centers=None):
+    """Edge list + weights, all edge types of `graph_cuts.py:574-657`.
+
+    :param labels: (H, W) or (Z, H, W) superpixel map
+    :param edge_type: '' | 'spatial' | 'color' | 'features' |
+        'model[_l1|_l2|_lT]'
+    :returns: (edges (E,2), weights (E,), valid (E,))
+    """
+    ndim = labels.ndim
+    if ndim == 2:
+        edges, valid = graph_ops.adjacency_edges_2d(labels, num_segments)
+    else:
+        edges, valid = graph_ops.adjacency_edges_3d(labels, num_segments)
+
+    if edge_type.startswith('model'):
+        if proba is None:
+            raise ValueError('"proba" is required for edge_type=model')
+        metric = edge_type.split('_')[-1] if '_' in edge_type else 'lT'
+        weights = graph_ops.edge_model_weights(edges, valid, proba, metric)
+    elif edge_type == 'color':
+        if image is None:
+            raise ValueError('"image" is required for edge_type=color')
+        from pyimsegm_tpu.ops import segment_stats
+        img = jnp.asarray(image, jnp.float32)
+        img = jnp.where(jnp.max(img) > 1.0, img / 255.0, img)
+        mean_color = segment_stats.segment_mean_std_energy(
+            img.reshape(-1, img.shape[-1]), labels.ravel(), num_segments,
+            flags=('mean',))['mean']
+        weights = graph_ops.edge_vector_weights(edges, valid, mean_color, 'l1')
+    elif edge_type == 'features':
+        if features is None:
+            raise ValueError('"features" is required for edge_type=features')
+        mu = jnp.mean(features, axis=0)
+        sd = jnp.maximum(jnp.std(features, axis=0), 1e-12)
+        weights = graph_ops.edge_vector_weights(edges, valid, (features - mu) / sd, 'l2')
+    else:
+        weights = jnp.ones(edges.shape[0], jnp.float32)
+
+    if edge_type in ('model', 'model_l1', 'model_l2', 'model_lT',
+                     'features', 'color', 'spatial'):
+        if centers is None:
+            centers = graph_ops.superpixel_centers(labels, num_segments, ndim=ndim)
+        spatial = graph_ops.compute_spatial_dist(centers, edges, valid, relative=True)
+        weights = weights / jnp.maximum(spatial, 1e-12)
+
+    weights = jnp.clip(weights, 1.0 / MIN_MAX_EDGE_WEIGHT, MIN_MAX_EDGE_WEIGHT)
+    weights = jnp.where(valid, weights, 0.0)
+    return edges, weights, valid
+
+
+def mrf_energy(labels, unary, edges, weights, pairwise):
+    """E(l) = sum_i U_i(l_i) + sum_e w_e * P(l_a, l_b)."""
+    u = jnp.sum(jnp.take_along_axis(unary, labels[:, None], axis=1))
+    p = pairwise[labels[edges[:, 0]], labels[edges[:, 1]]]
+    return u + jnp.sum(weights * p)
+
+
+def _neighbor_expectation(q, edges, weights, pairwise, num_segments):
+    """For every node i: sum_{j in N(i)} w_ij * (P @ q_j)  — two segment-sums
+    over the padded edge list (invalid edges carry weight 0)."""
+    msg_to_a = (q[edges[:, 1]] @ pairwise.T) * weights[:, None]
+    msg_to_b = (q[edges[:, 0]] @ pairwise.T) * weights[:, None]
+    agg = jax.ops.segment_sum(msg_to_a, edges[:, 0], num_segments=num_segments)
+    agg += jax.ops.segment_sum(msg_to_b, edges[:, 1], num_segments=num_segments)
+    return agg
+
+
+@functools.partial(jax.jit, static_argnames=('n_mf_iters', 'n_icm_iters'))
+def solve_mrf(unary, edges, weights, pairwise, n_mf_iters=30, n_icm_iters=12,
+              damping=0.5):
+    """Minimise the superpixel MRF on device.
+
+    :param unary: (K, C) float32 costs
+    :param edges: (E, 2) int32 padded edge list
+    :param weights: (E,) float32, 0 on padding
+    :param pairwise: (C, C) float32 cost matrix
+    :returns: (K,) int32 labels
+    """
+    k, c = unary.shape
+    pairwise = jnp.asarray(pairwise, jnp.float32)
+    unary = jnp.asarray(unary, jnp.float32)
+
+    # --- damped mean field ---------------------------------------------
+    q0 = jax.nn.softmax(-unary, axis=-1)
+
+    def mf_step(_, q):
+        msg = _neighbor_expectation(q, edges, weights, pairwise, k)
+        q_new = jax.nn.softmax(-(unary + msg), axis=-1)
+        return damping * q_new + (1.0 - damping) * q
+
+    q = jax.lax.fori_loop(0, n_mf_iters, mf_step, q0)
+    labels = jnp.argmin(unary + _neighbor_expectation(q, edges, weights, pairwise, k),
+                        axis=-1).astype(jnp.int32)
+
+    # --- synchronous ICM polish, keep best-energy state ----------------
+    def icm_step(_, carry):
+        labels, best_labels, best_e = carry
+        onehot = jax.nn.one_hot(labels, c, dtype=jnp.float32)
+        msg = _neighbor_expectation(onehot, edges, weights, pairwise, k)
+        new_labels = jnp.argmin(unary + msg, axis=-1).astype(jnp.int32)
+        e = mrf_energy(new_labels, unary, edges, weights, pairwise)
+        improved = e < best_e
+        best_labels = jnp.where(improved, new_labels, best_labels)
+        best_e = jnp.where(improved, e, best_e)
+        return new_labels, best_labels, best_e
+
+    e0 = mrf_energy(labels, unary, edges, weights, pairwise)
+    _, best_labels, _ = jax.lax.fori_loop(
+        0, n_icm_iters, icm_step, (labels, labels, e0))
+    return best_labels
+
+
+def segment_graph_cut_general(labels, proba, num_segments, image=None,
+                              features=None, gc_regul=1.0, edge_type='model',
+                              edge_cost=1.0):
+    """End-to-end MRF stage matching `graph_cuts.py:660-747`.
+
+    :param labels: (H, W) superpixel map (device array)
+    :param proba: (K, C) class probabilities
+    :returns: (K,) int32 class per superpixel
+    """
+    unary = compute_unary_cost(proba)
+    scalar_regul = np.isscalar(gc_regul)
+    if scalar_regul and gc_regul <= 0:
+        return jnp.argmin(unary, axis=-1).astype(jnp.int32)
+    edges, weights, valid = compute_edge_weights(
+        labels, num_segments, image=image, features=features, proba=proba,
+        edge_type=edge_type)
+    weights = weights * edge_cost
+    pairwise = compute_pairwise_cost(gc_regul, proba.shape[1])
+    return solve_mrf(unary, edges, weights, jnp.asarray(pairwise, jnp.float32))
+
+
+def count_label_transitions_connected_segments(list_slics, list_labels, nb_labels):
+    """Count class transitions along superpixel adjacency over a dataset
+    (`graph_cuts.py:750-793`); host-side, returns (nb_labels, nb_labels)."""
+    trans = np.zeros((nb_labels, nb_labels))
+    for slic, labels in zip(list_slics, list_labels):
+        k = int(np.max(slic)) + 1
+        edges, valid = graph_ops.adjacency_edges_2d(jnp.asarray(slic), k)
+        edges = np.asarray(edges)[np.asarray(valid)]
+        lab = np.asarray(labels)
+        for l1, l2 in lab[edges]:
+            trans[l1, l2] += 1
+            trans[l2, l1] += 1
+    trans[np.diag_indices_from(trans)] /= 2
+    return trans
+
+
+def compute_pairwise_cost_from_transitions(trans, min_prob=1e-9):
+    """``log(1/ratio)`` pairwise from transition counts
+    (`graph_cuts.py:796-832`)."""
+    trans = np.asarray(trans, np.float64)
+    if trans.ndim == 1:
+        trans = np.tile(trans, (len(trans), 1))
+    ratio = trans / np.sum(trans, axis=0, keepdims=True)
+    n = len(ratio)
+    for i in range(1, n):
+        for j in range(i):
+            el = max(ratio[i, j], ratio[j, i])
+            ratio[i, j] = el
+            ratio[j, i] = el
+    ratio = np.maximum(ratio, min_prob)
+    return np.log(1.0 / ratio)

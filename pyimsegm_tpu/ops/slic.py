@@ -1,0 +1,250 @@
+"""TPU-native SLIC superpixels.
+
+Re-designs the SLIC stage of the reference pipeline (which calls the Cython
+``skimage.segmentation.slic``; see `/root/reference/imsegm/superpixels.py:22-69`)
+as an XLA-compiled iterative cluster assign/update schedule with fully static
+shapes:
+
+* Cluster seeds live on a fixed (gh, gw) grid with step = ``sp_size``; the
+  number of superpixels K = gh*gw is a static function of the image shape, so
+  every downstream op (features, adjacency, MRF) is shape-static and jittable.
+* The assignment step exploits the grid structure: each pixel only competes
+  among the 3x3 neighborhood of grid cells around its own tile.  Instead of a
+  per-pixel gather, each of the 9 shifted center grids is broadcast-upsampled
+  to the pixel raster (a reshape/broadcast XLA fuses into the distance
+  computation), giving a pure elementwise argmin - no scatter/gather in the
+  hot loop.
+* The update step is one `segment_sum` of (lab, y, x, 1) per iteration.
+
+Parameter mapping matches the reference exactly
+(`/root/reference/imsegm/superpixels.py:53-63`): images are min/max rescaled
+to [0, 1], gray images are tiled to 3 channels, ``n_segments =
+npix/sp_size**2`` and ``compactness = (sp_size*relative_compact)**1.5``; the
+image is pre-smoothed with a sigma=1 Gaussian and converted to CIE Lab, and a
+SLICO (adaptive compactness) variant is available, mirroring
+``skimage.segmentation.slic(..., sigma=1, slic_zero=...)`` behaviour.
+
+Connectivity enforcement is a host-side postprocess (union-find in the native
+C++ library, `pyimsegm_tpu.native`), optional because the downstream MRF
+regulariser absorbs stray pixels.
+"""
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyimsegm_tpu.ops.color import rgb2lab
+
+#: iterations used by the reference SLIC (skimage default ``max_num_iter=10``)
+DEFAULT_SLIC_ITERS = 10
+
+
+class SlicConfig(NamedTuple):
+    """Static SLIC geometry for a given image shape and superpixel size."""
+    height: int
+    width: int
+    step: int          # superpixel edge length in pixels
+    grid_h: int        # number of seed rows
+    grid_w: int        # number of seed cols
+    pad_h: int         # padded image height (grid_h * step)
+    pad_w: int         # padded image width  (grid_w * step)
+
+    @property
+    def n_segments(self) -> int:
+        return self.grid_h * self.grid_w
+
+
+def slic_config(height, width, sp_size) -> SlicConfig:
+    """Derive the static seed-grid geometry.
+
+    ``n_segments ~= npix / sp_size**2`` like the reference
+    (`superpixels.py:57`), realised as a ceil-divided seed grid so the grid
+    always covers the image.
+    """
+    step = max(2, int(sp_size))
+    gh = max(1, math.ceil(height / step))
+    gw = max(1, math.ceil(width / step))
+    return SlicConfig(height, width, step, gh, gw, gh * step, gw * step)
+
+
+def compactness_from_regul(sp_size, sp_regul) -> float:
+    """Reference parameter mapping: ``(sp_size * regul) ** 1.5``
+    (`/root/reference/imsegm/superpixels.py:58`)."""
+    return float(sp_size * sp_regul) ** 1.5
+
+
+def _gaussian_kernel1d(sigma, radius):
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return jnp.asarray(k / k.sum(), dtype=jnp.float32)
+
+
+def gaussian_blur(image, sigma):
+    """Separable Gaussian blur of an (H, W, C) image, edge-padded."""
+    if sigma <= 0:
+        return image
+    radius = max(1, int(round(3.0 * sigma)))
+    k = _gaussian_kernel1d(sigma, radius)
+    pad = [(radius, radius), (0, 0), (0, 0)]
+    x = jnp.pad(image, pad, mode='edge')
+
+    # convolve along H then W via depthwise conv on a channels-last layout
+    def conv_axis(arr, axis):
+        arr = jnp.moveaxis(arr, axis, -1)          # (..., L)
+        shape = arr.shape
+        flat = arr.reshape(-1, 1, shape[-1])       # (N, 1, L) NCW
+        out = jax.lax.conv_general_dilated(
+            flat, k.reshape(1, 1, -1), window_strides=(1,),
+            padding='VALID', dimension_numbers=('NCH', 'OIH', 'NCH'))
+        out = out.reshape(shape[:-1] + (out.shape[-1],))
+        return jnp.moveaxis(out, -1, axis)
+
+    x = conv_axis(x, 0)
+    x = jnp.pad(x, [(0, 0), (radius, radius), (0, 0)], mode='edge')
+    x = conv_axis(x, 1)
+    return x
+
+
+def _prepare_image(image):
+    """Match reference preprocessing (`superpixels.py:50-54`): gray->RGB,
+    min/max rescale to [0,1]; then sigma=1 blur + Lab conversion as skimage
+    ``slic`` does internally."""
+    if image.ndim == 2:
+        image = jnp.stack([image] * 3, axis=-1)
+    image = image.astype(jnp.float32)
+    lo = jnp.min(image)
+    hi = jnp.max(image)
+    image = (image - lo) / jnp.maximum(hi - lo, 1e-12)
+    image = gaussian_blur(image, 1.0)
+    return rgb2lab(image)
+
+
+def _upsample_grid(grid, step):
+    """(gh, gw, F) -> (gh*step, gw*step, F) by tile replication; a pure
+    broadcast that XLA fuses into consumers (no materialised gather)."""
+    gh, gw, f = grid.shape
+    out = jnp.broadcast_to(grid[:, None, :, None, :], (gh, step, gw, step, f))
+    return out.reshape(gh * step, gw * step, f)
+
+
+_BIG = 1e10
+
+
+@functools.partial(jax.jit, static_argnames=('cfg', 'n_iter', 'slico'))
+def slic_segment(image, cfg: SlicConfig, compactness, n_iter=DEFAULT_SLIC_ITERS, slico=False):
+    """Run SLIC; returns int32 labels of shape (height, width) in [0, K).
+
+    :param image: (H, W, 3) or (H, W) float array (any scale)
+    :param cfg: static geometry from :func:`slic_config`
+    :param compactness: SLIC compactness m (traced ok)
+    :param n_iter: assign/update iterations (static)
+    :param slico: adaptive per-cluster compactness (SLIC-zero)
+    """
+    gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
+    k_sp = gh * gw
+    lab = _prepare_image(image)
+
+    # pad to full tiles; padded pixels get zero update weight
+    ph, pw = cfg.pad_h - cfg.height, cfg.pad_w - cfg.width
+    lab_p = jnp.pad(lab, [(0, ph), (0, pw), (0, 0)], mode='edge')
+    valid = jnp.pad(jnp.ones((cfg.height, cfg.width), jnp.float32),
+                    [(0, ph), (0, pw)])
+
+    hp, wp = cfg.pad_h, cfg.pad_w
+    py = jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 0)
+    px = jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 1)
+
+    # initial centers: tile centres, colors sampled from the blurred image
+    cy0 = (jnp.arange(gh, dtype=jnp.float32) + 0.5) * step - 0.5
+    cx0 = (jnp.arange(gw, dtype=jnp.float32) + 0.5) * step - 0.5
+    iy = jnp.clip(cy0.astype(jnp.int32), 0, cfg.height - 1)
+    ix = jnp.clip(cx0.astype(jnp.int32), 0, cfg.width - 1)
+    init_color = lab[iy][:, ix]                      # (gh, gw, 3)
+    cyg, cxg = jnp.meshgrid(cy0, cx0, indexing='ij')
+    centers0 = jnp.concatenate([init_color, cyg[..., None], cxg[..., None]], axis=-1)
+
+    spatial_w = 1.0 / jnp.asarray(step, jnp.float32) ** 2
+    m2 = jnp.asarray(compactness, jnp.float32) ** 2
+
+    offsets = [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)]
+
+    def assign(centers, max_dc2):
+        """Elementwise argmin over the 9 candidate seed cells per pixel."""
+        best_d = jnp.full((hp, wp), _BIG, jnp.float32)
+        best_lb = jnp.zeros((hp, wp), jnp.int32)
+        ty = jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 0)
+        tx = jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 1)
+        for di, dj in offsets:
+            # neighbor seed of each grid cell, out-of-range cells disabled
+            sy, sx = ty + di, tx + dj
+            inb = (sy >= 0) & (sy < gh) & (sx >= 0) & (sx < gw)
+            nb = jnp.roll(centers, (-di, -dj), axis=(0, 1))
+            nb_id = (sy * gw + sx).astype(jnp.int32)
+            if slico:
+                nb_m = jnp.roll(max_dc2, (-di, -dj), axis=(0, 1))
+                nb = jnp.concatenate([nb, nb_m[..., None]], axis=-1)
+            nb = jnp.where(inb[..., None], nb, _BIG)
+            nb_id = jnp.where(inb, nb_id, 0)
+            cfield = _upsample_grid(nb, step)          # (hp, wp, 5[+1])
+            lbf = _upsample_grid(
+                nb_id[..., None].astype(jnp.float32), step)[..., 0].astype(jnp.int32)
+            dc2 = jnp.sum((lab_p - cfield[..., :3]) ** 2, axis=-1)
+            ds2 = (py - cfield[..., 3]) ** 2 + (px - cfield[..., 4]) ** 2
+            if slico:
+                d = dc2 / jnp.maximum(cfield[..., 5], 1e-6) + ds2 * spatial_w
+            else:
+                d = dc2 + ds2 * spatial_w * m2
+            take = d < best_d
+            best_d = jnp.where(take, d, best_d)
+            best_lb = jnp.where(take, lbf, best_lb)
+        return best_lb, best_d
+
+    def update(labels):
+        flat_lb = labels.reshape(-1)
+        w = valid.reshape(-1, 1)
+        data = jnp.concatenate(
+            [lab_p.reshape(-1, 3), py.reshape(-1, 1), px.reshape(-1, 1),
+             jnp.ones_like(w)], axis=-1) * w
+        sums = jax.ops.segment_sum(data, flat_lb, num_segments=k_sp)
+        cnt = sums[:, 5:6]
+        new = sums[:, :5] / jnp.maximum(cnt, 1.0)
+        return new.reshape(gh, gw, 5), cnt.reshape(gh, gw) > 0
+
+    def body(_, carry):
+        centers, max_dc2 = carry
+        labels, _ = assign(centers, max_dc2)
+        new_centers, nonempty = update(labels)
+        centers = jnp.where(nonempty[..., None], new_centers, centers)
+        if slico:
+            # track per-cluster max color distance for adaptive compactness
+            own = centers.reshape(k_sp, 5)[labels.reshape(-1)]
+            dc2 = jnp.sum((lab_p.reshape(-1, 3) - own[:, :3]) ** 2, axis=-1)
+            dc2 = dc2 * valid.reshape(-1)
+            new_m = jax.ops.segment_max(dc2, labels.reshape(-1), num_segments=k_sp)
+            max_dc2 = jnp.maximum(new_m.reshape(gh, gw), 1.0)
+        return centers, max_dc2
+
+    init_m = jnp.full((gh, gw), jnp.asarray(m2, jnp.float32))
+    centers, max_dc2 = jax.lax.fori_loop(0, n_iter, body, (centers0, init_m))
+    labels, _ = assign(centers, max_dc2)
+    return labels[:cfg.height, :cfg.width]
+
+
+def segment_slic_img2d(img, sp_size=50, relative_compact=0.1, slico=False,
+                       n_iter=DEFAULT_SLIC_ITERS, enforce_connectivity=False):
+    """Host-level convenience mirroring the reference API
+    (`/root/reference/imsegm/superpixels.py:22`): returns an int32 numpy label
+    map of shape ``img.shape[:2]``.
+    """
+    img = np.asarray(img)
+    cfg = slic_config(img.shape[0], img.shape[1], sp_size)
+    m = compactness_from_regul(sp_size, relative_compact)
+    labels = np.asarray(slic_segment(jnp.asarray(img), cfg, m, n_iter=n_iter, slico=slico))
+    if enforce_connectivity:
+        from pyimsegm_tpu import native
+        labels = native.enforce_connectivity(labels, min_size=max(4, sp_size * sp_size // 16))
+    return labels

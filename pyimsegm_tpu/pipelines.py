@@ -1,0 +1,264 @@
+"""Public segmentation pipelines (the stable API of the framework).
+
+Mirrors the reference's public surface (`/root/reference/imsegm/pipelines.py`):
+
+* :func:`pipe_color2d_slic_features_model_graphcut` — unsupervised single image
+* :func:`estim_model_classes_group` — fit one model over an image group
+* :func:`segment_color2d_slic_features_model_graphcut` — predict w/ fitted model
+* :func:`train_classif_color2d_slic_features` — supervised training
+* :func:`pipe_gray3d_slic_features_model_graphcut` — 3D gray volumes
+
+Unlike the reference (which fans images out over a ``multiprocessing.Pool``,
+`pipelines.py:142-147,337-342`), each pipeline here is a single jitted XLA
+program per image geometry — SLIC, features, model fit, and the MRF solver all
+fuse on device — and batching over images uses ``jax.vmap`` /
+``jax.shard_map`` over a device mesh (see ``pyimsegm_tpu.parallel``).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyimsegm_tpu import descriptors
+from pyimsegm_tpu.models.class_model import ClassModel, estim_class_model
+from pyimsegm_tpu.ops import graphcut
+from pyimsegm_tpu.ops import slic as slic_ops
+
+#: default number of classes left out in group cross-validation
+CROSS_VAL_LEAVE_OUT = 2
+
+
+def _features_spec(dict_features):
+    """Hashable (static) form of the feature dict for jit keying."""
+    return tuple((k, tuple(v)) for k, v in dict_features.items())
+
+
+# ------------------------------------------------------------------ core ---
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('cfg', 'feats_spec', 'slico', 'n_iter'))
+def _slic_features_core(image, cfg, feats_spec, compactness,
+                        slico=False, n_iter=slic_ops.DEFAULT_SLIC_ITERS):
+    labels = slic_ops.slic_segment(image, cfg, compactness, n_iter=n_iter, slico=slico)
+    seg_ids = labels.ravel()
+    k = cfg.n_segments
+    counts = jax.ops.segment_sum(jnp.ones_like(seg_ids, dtype=jnp.float32),
+                                 seg_ids, num_segments=k)
+    features, _ = descriptors.compute_selected_features_img2d(
+        jnp.asarray(image, jnp.float32), seg_ids, k, dict(feats_spec))
+    return labels, features, counts
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('cfg', 'feats_spec', 'nb_classes', 'estim_model',
+                     'pca_coef', 'use_scaler', 'gc_regul', 'gc_edge_type', 'seed'))
+def _pipe_unsup_core(image, *, cfg, feats_spec, nb_classes, estim_model,
+                     pca_coef, use_scaler, gc_regul, gc_edge_type,
+                     compactness, seed=0):
+    labels, features, counts = _slic_features_core(image, cfg, feats_spec, compactness)
+    mask = (counts > 0).astype(jnp.float32)
+    model = estim_class_model(features, nb_classes, estim_model, pca_coef,
+                              use_scaler, sample_weight=mask, seed=seed)
+    proba = model.predict_proba(features)
+    segm_soft = proba[labels]
+    graph_labels = graphcut.segment_graph_cut_general(
+        labels, proba, cfg.n_segments, image=jnp.asarray(image, jnp.float32),
+        features=features, gc_regul=gc_regul, edge_type=gc_edge_type)
+    segm = graph_labels[labels]
+    return segm, segm_soft, labels, features, proba, model
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('cfg', 'feats_spec', 'gc_regul', 'gc_edge_type'))
+def _segment_with_model_core(image, model: ClassModel, *, cfg, feats_spec,
+                             gc_regul, gc_edge_type, compactness):
+    labels, features, counts = _slic_features_core(image, cfg, feats_spec, compactness)
+    proba = model.predict_proba(features)
+    segm_soft = proba[labels]
+    graph_labels = graphcut.segment_graph_cut_general(
+        labels, proba, cfg.n_segments, image=jnp.asarray(image, jnp.float32),
+        features=features, gc_regul=gc_regul, edge_type=gc_edge_type)
+    segm = graph_labels[labels]
+    return segm, segm_soft
+
+
+# ------------------------------------------------------------- public API ---
+
+def compute_color2d_superpixels_features(image, dict_features, sp_size=30,
+                                         sp_regul=0.2):
+    """SLIC + per-superpixel features (`pipelines.py:244-269`).
+
+    :returns: (labels (H, W) int32 ndarray, features (K, F) ndarray) where K
+        is the static superpixel capacity; empty slots are zero rows.
+    """
+    if sp_regul <= 0:
+        raise ValueError('slic. regularisation must be positive')
+    image = jnp.asarray(image)
+    cfg = slic_ops.slic_config(image.shape[0], image.shape[1], sp_size)
+    m = slic_ops.compactness_from_regul(sp_size, sp_regul)
+    labels, features, _counts = _slic_features_core(
+        image, cfg, _features_spec(dict_features), m)
+    return np.asarray(labels), np.nan_to_num(np.asarray(features))
+
+
+def pipe_color2d_slic_features_model_graphcut(
+        image, nb_classes, dict_features, sp_size=30, sp_regul=0.2,
+        pca_coef=None, use_scaler=True, estim_model='GMM', gc_regul=1.0,
+        gc_edge_type='model', seed=0, debug_visual=None):
+    """Unsupervised single-image pipeline (`pipelines.py:46-110`):
+    SLIC -> features -> class model -> MRF regularisation.
+
+    :returns: (segm (H, W) int ndarray, segm_soft (H, W, C) float ndarray)
+    """
+    image = jnp.asarray(image)
+    cfg = slic_ops.slic_config(image.shape[0], image.shape[1], sp_size)
+    m = slic_ops.compactness_from_regul(sp_size, sp_regul)
+    segm, segm_soft, labels, features, proba, _model = _pipe_unsup_core(
+        image, cfg=cfg, feats_spec=_features_spec(dict_features),
+        nb_classes=nb_classes, estim_model=estim_model, pca_coef=pca_coef,
+        use_scaler=use_scaler, gc_regul=float(gc_regul),
+        gc_edge_type=gc_edge_type, compactness=m, seed=seed)
+    if debug_visual is not None:
+        debug_visual['slic'] = np.asarray(labels)
+        debug_visual['features'] = np.asarray(features)
+        debug_visual['proba'] = np.asarray(proba)
+    return np.asarray(segm), np.asarray(segm_soft)
+
+
+def estim_model_classes_group(list_images, nb_classes, dict_features,
+                              sp_size=30, sp_regul=0.2, use_scaler=True,
+                              pca_coef=None, model_type='GMM', seed=0):
+    """Fit one class model over several images (`pipelines.py:113-157`).
+
+    :returns: (ClassModel, list of per-image feature arrays)
+    """
+    feats_spec = _features_spec(dict_features)
+    m = slic_ops.compactness_from_regul(sp_size, sp_regul)
+    all_features, all_masks, list_features = [], [], []
+    for image in list_images:
+        image = jnp.asarray(image)
+        cfg = slic_ops.slic_config(image.shape[0], image.shape[1], sp_size)
+        _labels, features, counts = _slic_features_core(image, cfg, feats_spec, m)
+        all_features.append(features)
+        all_masks.append((counts > 0).astype(jnp.float32))
+        list_features.append(np.nan_to_num(np.asarray(features)))
+    features = jnp.concatenate(all_features, axis=0)
+    mask = jnp.concatenate(all_masks, axis=0)
+    model = estim_class_model(jnp.nan_to_num(features), nb_classes, model_type,
+                              pca_coef, use_scaler, sample_weight=mask, seed=seed)
+    return model, list_features
+
+
+def segment_color2d_slic_features_model_graphcut(
+        image, model_pipeline: ClassModel, dict_features, sp_size=30,
+        sp_regul=0.2, gc_regul=1.0, gc_edge_type='model', debug_visual=None):
+    """Segment one image with a fitted model (`pipelines.py:160-241`).
+
+    :returns: (segm (H, W) ndarray, segm_soft (H, W, C) ndarray)
+    """
+    image = jnp.asarray(image)
+    cfg = slic_ops.slic_config(image.shape[0], image.shape[1], sp_size)
+    m = slic_ops.compactness_from_regul(sp_size, sp_regul)
+    segm, segm_soft = _segment_with_model_core(
+        image, model_pipeline, cfg=cfg, feats_spec=_features_spec(dict_features),
+        gc_regul=float(gc_regul), gc_edge_type=gc_edge_type, compactness=m)
+    return np.asarray(segm), np.asarray(segm_soft)
+
+
+def train_classif_color2d_slic_features(list_images, list_annots, dict_features,
+                                        sp_size=30, sp_regul=0.2,
+                                        clf_name='RandForest', label_purity=0.9,
+                                        feature_balance='unique', pca_coef=None,
+                                        nb_classif_search=1,
+                                        nb_hold_out=CROSS_VAL_LEAVE_OUT, seed=0):
+    """Supervised training over annotated images (`pipelines.py:293-379`):
+    superpixel labels from annotation-overlap purity, balanced dataset, then a
+    classifier search.
+
+    :returns: (classifier, list_slic, list_features, list_labels)
+    """
+    from pyimsegm_tpu import classification, labeling
+
+    if len(list_images) != len(list_annots):
+        raise ValueError('images (%i) vs annotations (%i) mismatch'
+                         % (len(list_images), len(list_annots)))
+    feats_spec = _features_spec(dict_features)
+    m = slic_ops.compactness_from_regul(sp_size, sp_regul)
+    list_slic, list_features, list_labels = [], [], []
+    for image, annot in zip(list_images, list_annots):
+        image = jnp.asarray(image)
+        annot = np.asarray(annot).astype(int)
+        if image.shape[:2] != annot.shape[:2]:
+            raise ValueError('image %r and annot %r should match'
+                             % (image.shape, annot.shape))
+        cfg = slic_ops.slic_config(image.shape[0], image.shape[1], sp_size)
+        labels_map, features, counts = _slic_features_core(image, cfg, feats_spec, m)
+        neg_label = annot.max() + 1 if (annot < 0).any() else None
+        if neg_label is not None:
+            annot[annot < 0] = neg_label
+        hist = labeling.histogram_regions_labels_norm(
+            np.asarray(labels_map), annot, nb_labels=annot.max() + 1)
+        lbs = np.argmax(hist, axis=1)
+        purity = np.max(hist, axis=1)
+        if neg_label is not None:
+            lbs[lbs == neg_label] = -1
+        lbs[purity < label_purity] = -1
+        lbs[np.asarray(counts) == 0] = -1          # padded empty slots
+        list_slic.append(np.asarray(labels_map))
+        list_features.append(np.nan_to_num(np.asarray(features)))
+        list_labels.append(lbs)
+
+    features, labels, sizes = classification.convert_set_features_labels_2_dataset(
+        dict(enumerate(list_features)), dict(enumerate(list_labels)),
+        balance_type=feature_balance, drop_labels=[-1])
+    features = np.nan_to_num(features)
+
+    if len(sizes) > (nb_hold_out * 5):
+        cv = classification.CrossValidateGroups(sizes, nb_hold_out=nb_hold_out)
+    else:
+        cv = 10
+    classif, _ = classification.create_classif_search_train_export(
+        clf_name, features, labels, pca_coef=pca_coef, cross_val=cv,
+        nb_search_iter=nb_classif_search, seed=seed)
+    return classif, list_slic, list_features, list_labels
+
+
+def pipe_gray3d_slic_features_model_graphcut(image, nb_classes, dict_features,
+                                             spacing=(12, 1, 1), sp_size=15,
+                                             sp_regul=0.2, gc_regul=0.1,
+                                             estim_model='GMM', seed=0):
+    """3D gray-volume pipeline (`pipelines.py:382-431`).
+
+    :param image: (Z, H, W) gray volume
+    :returns: segm (Z, H, W) int ndarray
+    """
+    from pyimsegm_tpu.ops import slic3d
+
+    image = jnp.asarray(image, jnp.float32)
+    cfg = slic3d.slic3d_config(image.shape, sp_size, spacing)
+    m = slic_ops.compactness_from_regul(sp_size, sp_regul)
+    labels = slic3d.slic3d_segment(image, cfg, m)
+    k = cfg.n_segments
+    seg_ids = labels.ravel()
+    counts = jax.ops.segment_sum(jnp.ones_like(seg_ids, jnp.float32), seg_ids,
+                                 num_segments=k)
+    mask = (counts > 0).astype(jnp.float32)
+    features, _names = descriptors.compute_selected_features_gray3d(
+        image, seg_ids, k, dict_features)
+    # reference normalises features for the 3D pipe (`pipelines.py:420-422`)
+    mu = jnp.sum(features * mask[:, None], 0) / jnp.maximum(jnp.sum(mask), 1.0)
+    sd = jnp.sqrt(jnp.sum(((features - mu) ** 2) * mask[:, None], 0)
+                  / jnp.maximum(jnp.sum(mask), 1.0))
+    features = (features - mu) / jnp.maximum(sd, 1e-12)
+    model = estim_class_model(features, nb_classes, estim_model,
+                              sample_weight=mask, seed=seed)
+    proba = model.predict_proba(features)
+    graph_labels = graphcut.segment_graph_cut_general(
+        labels, proba, k, image=image, features=features,
+        gc_regul=float(gc_regul), edge_type='model')
+    return np.asarray(graph_labels[labels])
