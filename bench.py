@@ -1,63 +1,91 @@
-"""End-to-end throughput benchmark: SLIC + features + GMM + MRF on one chip.
+"""End-to-end throughput benchmark on one chip.
 
-Runs the full unsupervised pipeline (the reference's north-star config:
-`run_segm_slic_model_graphcut.py` params — sp_size 35, sp_regul 0.2,
-gc_regul 2.0, edge 'model') on the bundled drosophila ovary image and prints
-one JSON line with MPix/s against the 50 MPix/s/chip target
-(BASELINE.json:5).
+Measures the reference's "batched throughput" config (BASELINE.json configs[2]):
+the unsupervised pipeline (SLIC + color features + class-model proba + MRF
+regularisation) vmapped across the bundled ``langerhans_islets`` +
+``histology_CIMA`` images with a fixed superpixel grid, against the
+50 MPix/s/chip target (BASELINE.json:5).  The group model is fitted once
+(``estim_model_classes_group`` semantics); steady-state throughput is wall
+clock over repeated batches with device pipelining.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import glob
 import json
+import os
 import time
 
 import numpy as np
+
+TARGET_MPIX_S = 50.0
+DATA = os.environ.get('PYIMSEGM_DATA_PATH', '/root/reference/data-images')
+CROP = (884, 1200)  # common crop across both folders
+SP_SIZE, SP_REGUL, GC_REGUL, NB_CLASSES = 35, 0.2, 2.0, 3
+
+
+def _load_images():
+    from PIL import Image
+    paths = (sorted(glob.glob(os.path.join(DATA, 'langerhans_islets', 'image', '*.jpg')))
+             + sorted(glob.glob(os.path.join(DATA, 'histology_CIMA', '*.jpg'))))
+    imgs = []
+    for p in paths:
+        arr = np.asarray(Image.open(p), dtype=np.float32) / 255.0
+        h, w = arr.shape[:2]
+        if h < CROP[0] or w < CROP[1] or arr.ndim != 3:
+            continue
+        y0, x0 = (h - CROP[0]) // 2, (w - CROP[1]) // 2
+        imgs.append(arr[y0:y0 + CROP[0], x0:x0 + CROP[1], :3])
+    if not imgs:  # synthetic fallback
+        rng = np.random.default_rng(0)
+        imgs = [rng.random(CROP + (3,), dtype=np.float32) for _ in range(8)]
+    return np.stack(imgs)
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from pyimsegm_tpu.pipelines import _pipe_unsup_core, _features_spec
+    from pyimsegm_tpu.models.class_model import estim_class_model
+    from pyimsegm_tpu.parallel.batch import _segment_batch_jit
+    from pyimsegm_tpu.pipelines import _slic_features_core, _features_spec
     from pyimsegm_tpu.ops import slic as slic_ops
-    from pyimsegm_tpu.utils import data_samples
 
-    if data_samples.has_sample_data():
-        image = data_samples.load_sample_image()
-    else:  # synthetic fallback with similar size
-        rng = np.random.default_rng(0)
-        image = rng.random((647, 1024, 3), dtype=np.float32)
+    images = jnp.asarray(_load_images())
+    b, h, w = images.shape[:3]
+    cfg = slic_ops.slic_config(h, w, SP_SIZE)
+    m = slic_ops.compactness_from_regul(SP_SIZE, SP_REGUL)
+    spec = _features_spec({'color': ('mean', 'std', 'energy')})
 
-    h, w = image.shape[:2]
-    sp_size, sp_regul = 35, 0.2
-    cfg = slic_ops.slic_config(h, w, sp_size)
-    m = slic_ops.compactness_from_regul(sp_size, sp_regul)
-    kwargs = dict(
-        cfg=cfg, feats_spec=_features_spec({'color': ('mean', 'std', 'energy')}),
-        nb_classes=4, estim_model='GMM', pca_coef=None, use_scaler=True,
-        gc_regul=2.0, gc_edge_type='model', compactness=m, seed=0)
-
-    img_dev = jnp.asarray(image, jnp.float32)
+    # group model: SLIC+features per image, one GMM over the pool
+    feats, masks = [], []
+    for i in range(b):
+        _lb, f, c = _slic_features_core(images[i], cfg, spec, m)
+        feats.append(f)
+        masks.append((c > 0).astype(jnp.float32))
+    model = estim_class_model(jnp.nan_to_num(jnp.concatenate(feats)), NB_CLASSES,
+                              'GMM', sample_weight=jnp.concatenate(masks))
 
     def run():
-        out = _pipe_unsup_core(img_dev, **kwargs)
-        jax.block_until_ready(out[0])
-        return out
+        return _segment_batch_jit(
+            images, model, cfg=cfg, feats_spec=spec, gc_regul=GC_REGUL,
+            gc_edge_type='model', compactness=m)
 
-    run()  # compile
-    # steady-state timing
+    jax.block_until_ready(run())  # compile
     reps = 5
     t0 = time.perf_counter()
+    out = None
     for _ in range(reps):
-        run()
-    dt = (time.perf_counter() - t0) / reps
-    mpix_s = (h * w) / dt / 1e6
+        out = run()
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    mpix_s = b * h * w * reps / dt / 1e6
 
-    target = 50.0
     print(json.dumps({
-        'metric': 'e2e_unsup_pipeline_throughput',
+        'metric': 'e2e_unsup_batched_throughput',
         'value': round(mpix_s, 3),
         'unit': 'MPix/s/chip',
-        'vs_baseline': round(mpix_s / target, 4),
+        'vs_baseline': round(mpix_s / TARGET_MPIX_S, 4),
     }))
 
 

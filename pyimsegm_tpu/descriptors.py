@@ -46,13 +46,15 @@ def _stat_names(ch_names, flags):
     return ['%s_%s' % (n, f) for f in NAMES_FEATURE_FLAGS if f in flags for n in ch_names]
 
 
-def compute_selected_features_color2d(image, seg_ids, num_segments, dict_features):
+def compute_selected_features_color2d(image, seg_ids, num_segments, dict_features,
+                                      grid_ctx=None):
     """Features for a 2D color image over flat superpixel ids.
 
     :param image: (H, W, 3) float array (device)
     :param seg_ids: (H*W,) int32 labels in [0, num_segments)
     :param num_segments: static superpixel capacity
     :param dict_features: e.g. ``{'color': ('mean','std'), 'tLM': ('mean',)}``
+    :param grid_ctx: optional (labels2d, SlicConfig) for scatter-free reductions
     :returns: ((num_segments, F) device features, list of F names)
 
     Traceable under jit for a fixed ``dict_features``.
@@ -65,7 +67,7 @@ def compute_selected_features_color2d(image, seg_ids, num_segments, dict_feature
         img_c = color_ops.convert_img_color_from_rgb(image, space) if '_' in key else image
         flags = tuple(dict_features[key])
         feats.append(segment_stats.compute_channel_statistics(
-            img_c, seg_ids, num_segments, flags))
+            img_c, seg_ids, num_segments, flags, grid_ctx=grid_ctx))
         ch = ['%s-ch%i' % (space if '_' in key else 'color', i + 1) for i in range(3)]
         names += _stat_names(ch, flags)
 
@@ -73,7 +75,8 @@ def compute_selected_features_color2d(image, seg_ids, num_segments, dict_feature
     for key in texture_keys:
         bank_type = key.split('_')[-1] if '_' in key else 'normal'
         flags = tuple(dict_features[key])
-        f, n = _texture_features_color2d(image, seg_ids, num_segments, flags, bank_type)
+        f, n = _texture_features_color2d(image, seg_ids, num_segments, flags,
+                                         bank_type, grid_ctx=grid_ctx)
         feats.append(f)
         names += n
 
@@ -87,7 +90,8 @@ def compute_selected_features_color2d(image, seg_ids, num_segments, dict_feature
     return features, names
 
 
-def _texture_features_color2d(image, seg_ids, num_segments, flags, bank_type):
+def _texture_features_color2d(image, seg_ids, num_segments, flags, bank_type,
+                              grid_ctx=None):
     """LM texture statistics (`descriptors.py:1041-1106`): background
     subtraction, one batched bank convolution, per-battery normalisation,
     then channel statistics per battery."""
@@ -98,25 +102,27 @@ def _texture_features_color2d(image, seg_ids, num_segments, flags, bank_type):
     for bi, bname in enumerate(bank.names):
         resp = responses[bi]
         feats.append(segment_stats.compute_channel_statistics(
-            resp, seg_ids, num_segments, flags))
+            resp, seg_ids, num_segments, flags, grid_ctx=grid_ctx))
         ch = ['tLM_%s-ch%i' % (bname, i + 1) for i in range(3)]
         names += _stat_names(ch, flags)
     return jnp.concatenate(feats, axis=-1), names
 
 
-def compute_selected_features_img2d(image, seg_ids, num_segments, dict_features):
+def compute_selected_features_img2d(image, seg_ids, num_segments, dict_features,
+                                    grid_ctx=None):
     """Dispatch on image kind like `descriptors.py:1273-1286`: (H, W, 3) ->
     color statistics, (H, W) -> gray statistics."""
     if image.ndim == 3 and image.shape[-1] == 3:
         return compute_selected_features_color2d(image, seg_ids, num_segments,
-                                                 dict_features)
+                                                 dict_features, grid_ctx=grid_ctx)
     if image.ndim == 2:
         return compute_selected_features_gray2d(image, seg_ids, num_segments,
-                                                dict_features)
+                                                dict_features, grid_ctx=grid_ctx)
     raise ValueError('invalid image size - %r' % (image.shape,))
 
 
-def compute_selected_features_gray2d(image, seg_ids, num_segments, dict_features):
+def compute_selected_features_gray2d(image, seg_ids, num_segments, dict_features,
+                                     grid_ctx=None):
     """Gray 2D features via the 3D path with a singleton z axis
     (`descriptors.py:1171-1204`)."""
     return compute_selected_features_gray3d(image[None], seg_ids, num_segments,

@@ -126,17 +126,29 @@ def quantile_init_centers(x, n_clusters):
 # -------------------------------------------------------------------- EM ---
 
 def _em_fit_single(key, x, sample_weight, n_components, max_iter, reg_covar,
-                   init_resp=None):
+                   init_resp=None, tol=1e-3):
     if init_resp is None:
-        _, labels = kmeans_fit(key, x, sample_weight, n_components, n_iter=25)
+        _, labels = kmeans_fit(key, x, sample_weight, n_components, n_iter=15)
         init_resp = jax.nn.one_hot(labels, n_components, dtype=x.dtype)
     params = _m_step(x, init_resp, sample_weight, reg_covar)
 
-    def body(_, params):
-        resp = gmm_predict_proba(params, x)
-        return _m_step(x, resp, sample_weight, reg_covar)
+    # EM with sklearn-style early stopping on the mean log-likelihood change
+    # (`GaussianMixture(tol=1e-3)`); while_loop keeps iterations data-dependent
+    # without dynamic shapes
+    def cond(state):
+        _, prev_ll, ll, it = state
+        return (it < max_iter) & (jnp.abs(ll - prev_ll) > tol)
 
-    params = jax.lax.fori_loop(0, max_iter, body, params)
+    def body(state):
+        params, _, ll, it = state
+        lr = gmm_log_resp(params, x)
+        resp = jax.nn.softmax(lr, axis=-1)
+        new_ll = jnp.sum(jax.scipy.special.logsumexp(lr, axis=-1) * sample_weight) \
+            / jnp.maximum(jnp.sum(sample_weight), 1.0)
+        return (_m_step(x, resp, sample_weight, reg_covar), ll, new_ll, it + 1)
+
+    params, _, _, _ = jax.lax.while_loop(
+        cond, body, (params, jnp.float32(-jnp.inf), jnp.float32(jnp.inf), 0))
     return params, gmm_score(params, x, sample_weight)
 
 

@@ -15,8 +15,10 @@ import jax.numpy as jnp
 
 
 def edge_capacity(num_segments):
-    """Static padded edge count (planar bound with headroom)."""
-    return 4 * num_segments
+    """Static padded edge count.  A connectivity-enforced region adjacency
+    graph is planar (E <= 3K-6), but raw SLIC labels can fragment on noisy
+    images and exceed it; 8x gives headroom against silent truncation."""
+    return 8 * num_segments
 
 
 def adjacency_edges_2d(labels, num_segments):

@@ -190,22 +190,42 @@ def solve_mrf(unary, edges, weights, pairwise, n_mf_iters=30, n_icm_iters=12,
 
 def segment_graph_cut_general(labels, proba, num_segments, image=None,
                               features=None, gc_regul=1.0, edge_type='model',
-                              edge_cost=1.0):
+                              edge_cost=1.0, grid_ctx=None):
     """End-to-end MRF stage matching `graph_cuts.py:660-747`.
 
     :param labels: (H, W) superpixel map (device array)
     :param proba: (K, C) class probabilities
+    :param grid_ctx: optional (labels2d, SlicConfig) enabling scatter-free
+        center computation for grid-structured SLIC labels
     :returns: (K,) int32 class per superpixel
     """
     unary = compute_unary_cost(proba)
     scalar_regul = np.isscalar(gc_regul)
     if scalar_regul and gc_regul <= 0:
         return jnp.argmin(unary, axis=-1).astype(jnp.int32)
+    pairwise = compute_pairwise_cost(gc_regul, proba.shape[1])
+    if grid_ctx is not None:
+        # dense 25-neighbor grid graph: no hash sort, no scatters
+        from pyimsegm_tpu.ops import grid as grid_ops
+        from pyimsegm_tpu.ops import segment_stats
+        labels2d, cfg = grid_ctx
+        mean_color = None
+        if edge_type == 'color':
+            img = jnp.asarray(image, jnp.float32)
+            img = jnp.where(jnp.max(img) > 1.0, img / 255.0, img)
+            csum = grid_ops.grid_segment_sum(
+                jnp.concatenate([img, jnp.ones(img.shape[:2] + (1,), jnp.float32)], -1),
+                labels2d, cfg)
+            mean_color = csum[:, :-1] / jnp.maximum(csum[:, -1:], 1.0)
+        wgrid = grid_ops.grid_edge_weights(
+            labels2d, cfg, proba=proba, features=features,
+            mean_color=mean_color, edge_type=edge_type) * edge_cost
+        return grid_ops.solve_mrf_grid(unary, wgrid,
+                                       jnp.asarray(pairwise, jnp.float32), cfg)
     edges, weights, valid = compute_edge_weights(
         labels, num_segments, image=image, features=features, proba=proba,
         edge_type=edge_type)
     weights = weights * edge_cost
-    pairwise = compute_pairwise_cost(gc_regul, proba.shape[1])
     return solve_mrf(unary, edges, weights, jnp.asarray(pairwise, jnp.float32))
 
 

@@ -1,0 +1,316 @@
+"""Scatter-free segment reductions for grid-structured SLIC labels.
+
+TPU scatters are slow (~10 ms for a 0.8-MPix ``segment_sum`` on one chip),
+and the baseline pipeline performs a dozen of them.  SLIC labels have a
+structural guarantee the generic scatter ignores: *every pixel's label is one
+of the 9 seed cells around its own tile* (the assignment step only considers
+that neighborhood, `pyimsegm_tpu.ops.slic`).  This module exploits it:
+
+* :func:`grid_segment_sum` — per-superpixel sums as 9 masked dense tile
+  reductions followed by 9 static grid shifts.  Pure elementwise + reshape
+  reductions, fully fusable by XLA; ~10x faster than ``segment_sum``.
+* :func:`grid_lookup` — superpixel-table -> pixel-map upsampling as 9 masked
+  selects instead of a big gather.
+
+Both fall back transparently when no grid structure is available (arbitrary
+label maps still use the generic ops).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from pyimsegm_tpu.ops.slic import SlicConfig, _upsample_grid
+
+_OFFSETS = [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)]
+
+
+def _neighbor_id_field(cfg: SlicConfig, di, dj):
+    """(pad_h, pad_w) int32 map: id of the (di, dj) grid neighbor of each
+    pixel's tile (-1 when out of range)."""
+    gh, gw = cfg.grid_h, cfg.grid_w
+    ty = jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 0) + di
+    tx = jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 1) + dj
+    inb = (ty >= 0) & (ty < gh) & (tx >= 0) & (tx < gw)
+    nb = jnp.where(inb, ty * gw + tx, -1)
+    return _upsample_grid(nb[..., None].astype(jnp.float32),
+                          cfg.step)[..., 0].astype(jnp.int32)
+
+
+def _pad_to_grid(arr, cfg: SlicConfig, fill=0):
+    ph = cfg.pad_h - arr.shape[0]
+    pw = cfg.pad_w - arr.shape[1]
+    if ph == 0 and pw == 0:
+        return arr
+    pad = [(0, ph), (0, pw)] + [(0, 0)] * (arr.ndim - 2)
+    return jnp.pad(arr, pad, constant_values=fill)
+
+
+def _shift2d(grid2d, di, dj):
+    """Shift a (gh, gw, F) grid so cell (y, x) moves to (y+di, x+dj),
+    zero-filling; pure pad+slice."""
+    gh, gw = grid2d.shape[:2]
+    pad = [(max(di, 0), max(-di, 0)), (max(dj, 0), max(-dj, 0))] \
+        + [(0, 0)] * (grid2d.ndim - 2)
+    padded = jnp.pad(grid2d, pad)
+    return padded[max(-di, 0):max(-di, 0) + gh, max(-dj, 0):max(-dj, 0) + gw]
+
+
+def grid_segment_sum(data, labels, cfg: SlicConfig):
+    """Sum ``data`` into per-superpixel bins without scatters.
+
+    :param data: (H, W, F) float32 (H, W = cfg.height/width); contributions
+        outside the image must already be zeroed by the caller if data was
+        padded
+    :param labels: (H, W) int32 SLIC labels satisfying the 3x3-tile guarantee
+    :param cfg: the SLIC geometry that produced ``labels``
+    :returns: (K, F) sums
+    """
+    f = data.shape[-1]
+    gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
+    data_p = _pad_to_grid(data, cfg)
+    labels_p = _pad_to_grid(labels, cfg, fill=-2)
+    out = jnp.zeros((gh, gw, f), jnp.float32)
+    for di, dj in _OFFSETS:
+        nb_field = _neighbor_id_field(cfg, di, dj)
+        mask = (labels_p == nb_field).astype(jnp.float32)[..., None]
+        part = (data_p * mask).reshape(gh, step, gw, step, f).sum(axis=(1, 3))
+        out = out + _shift2d(part, di, dj)
+    return out.reshape(gh * gw, f)
+
+
+def grid_lookup(table, labels, cfg: SlicConfig):
+    """Per-pixel lookup ``table[labels]`` without a gather.
+
+    :param table: (K,) or (K, C) array
+    :param labels: (H, W) int32 grid-structured labels
+    :returns: (H, W) or (H, W, C) array
+    """
+    squeeze = table.ndim == 1
+    if squeeze:
+        table = table[:, None]
+    c = table.shape[-1]
+    gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
+    tgrid = table.reshape(gh, gw, c)
+    labels_p = _pad_to_grid(labels, cfg, fill=-2)
+    out = jnp.zeros(labels_p.shape + (c,), table.dtype)
+    for di, dj in _OFFSETS:
+        nb_field = _neighbor_id_field(cfg, di, dj)
+        # value of the (di,dj)-neighbor seed, broadcast to pixels
+        val = _upsample_grid(_shift2d(tgrid, -di, -dj), step)
+        out = jnp.where((labels_p == nb_field)[..., None], val, out)
+    out = out[:cfg.height, :cfg.width]
+    return out[..., 0] if squeeze else out
+
+
+def grid_segment_count(labels, cfg: SlicConfig):
+    """(K,) pixel counts per superpixel (scatter-free)."""
+    ones = jnp.ones(labels.shape + (1,), jnp.float32)
+    return grid_segment_sum(ones, labels, cfg)[:, 0]
+
+
+# ------------------------------------------------------ dense grid graph ---
+#
+# Superpixel adjacency as a dense (gh, gw, 25) tensor: channel d encodes the
+# edge to the seed at relative grid offset (dy, dx) in [-2, 2]^2.  Because
+# SLIC labels come from each tile's 3x3 seed neighborhood, adjacent pixels'
+# labels differ by at most ~2 grid cells, so 5x5 covers (pathological +-3
+# outliers are dropped; they are vanishingly rare and carry negligible
+# regularisation mass).  This removes the 1-MPix hash sort (jnp.unique) and
+# all scatters from the MRF stage: adjacency is built with masked tile
+# reductions, and message passing becomes 25 static grid shifts.
+
+GRAPH_OFFSETS = [(dy, dx) for dy in (-2, -1, 0, 1, 2) for dx in (-2, -1, 0, 1, 2)]
+_SELF = GRAPH_OFFSETS.index((0, 0))
+
+
+def _flip_channel_perm():
+    return [GRAPH_OFFSETS.index((-dy, -dx)) for dy, dx in GRAPH_OFFSETS]
+
+
+def grid_adjacency(labels, cfg: SlicConfig):
+    """(gh, gw, 25) float adjacency indicator between each superpixel and its
+    grid neighbors, built scatter-free from conn4 pixel pairs."""
+    gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
+    labels_p = _pad_to_grid(labels, cfg, fill=-2)
+    hp, wp = labels_p.shape
+    tile_y = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0) // step
+    tile_x = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1) // step
+    ga_y = labels_p // gw
+    ga_x = labels_p % gw
+
+    adj = jnp.zeros((gh, gw, 25), jnp.float32)
+
+    def accumulate(adj, a, b, gay, gax, ty, tx):
+        """One-sided accumulation of pair (a -> b) into a's grid slot."""
+        gb_y = b // gw
+        gb_x = b % gw
+        dy = gb_y - gay
+        dx = gb_x - gax
+        pair_ok = (a != b) & (b >= 0) & (a >= 0) \
+            & (jnp.abs(dy) <= 2) & (jnp.abs(dx) <= 2)
+        ch = (dy + 2) * 5 + (dx + 2)                     # (hp, wp)
+        oh = jax.nn.one_hot(jnp.where(pair_ok, ch, 0), 25, dtype=jnp.float32)
+        oh = oh * pair_ok[..., None].astype(jnp.float32)
+        # attribute to a's tile-relative offset oa = ga - tile
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                m = ((gay - ty == di) & (gax - tx == dj)).astype(jnp.float32)
+                part = (oh * m[..., None]) \
+                    .reshape(gh, step, gw, step, 25).max(axis=(1, 3))
+                adj = jnp.maximum(adj, _shift2d(part, di, dj))
+        return adj
+
+    # horizontal pairs: b = right neighbor
+    b_h = jnp.concatenate([labels_p[:, 1:], jnp.full((hp, 1), -2, labels_p.dtype)], 1)
+    adj = accumulate(adj, labels_p, b_h, ga_y, ga_x, tile_y, tile_x)
+    # vertical pairs: b = lower neighbor
+    b_v = jnp.concatenate([labels_p[1:, :], jnp.full((1, wp), -2, labels_p.dtype)], 0)
+    adj = accumulate(adj, labels_p, b_v, ga_y, ga_x, tile_y, tile_x)
+
+    # symmetrize: edge (a, d) implies (a+d, -d); partner[y,x,d] = adj at grid
+    # cell (y+dy, x+dx), flipped channel
+    perm = _flip_channel_perm()
+    partner = jnp.stack(
+        [_shift2d(adj[..., perm[ci]], -dy, -dx)
+         for ci, (dy, dx) in enumerate(GRAPH_OFFSETS)], axis=-1)
+    adj = jnp.maximum(adj, partner)
+    # mask out-of-range neighbors and self
+    oy = jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 0)
+    ox = jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 1)
+    for ci, (dy, dx) in enumerate(GRAPH_OFFSETS):
+        ok = ((oy + dy >= 0) & (oy + dy < gh) & (ox + dx >= 0) & (ox + dx < gw)
+              & (ci != _SELF))
+        adj = adj.at[..., ci].set(jnp.where(ok, adj[..., ci], 0.0))
+    return adj
+
+
+def _neighbor_stack(table_grid):
+    """(gh, gw, 25, F): value of the offset-d neighbor for every channel d."""
+    return jnp.stack(
+        [_shift2d(table_grid, -dy, -dx) for dy, dx in GRAPH_OFFSETS], axis=2)
+
+
+def grid_edge_weights(labels, cfg: SlicConfig, proba=None, features=None,
+                      mean_color=None, edge_type='model', adj=None,
+                      centers=None):
+    """Dense edge weights replicating `graph_cuts.py:574-657` numerics on the
+    (gh, gw, 25) adjacency structure.
+
+    :returns: (gh, gw, 25) weights; 0 where no edge.
+    """
+    gh, gw = cfg.grid_h, cfg.grid_w
+    k = gh * gw
+    if adj is None:
+        adj = grid_adjacency(labels, cfg)
+    n_edges_x2 = jnp.maximum(jnp.sum(adj), 1.0)
+
+    def _std_scaled_exp(dist):
+        # exp(-dist / (2*std(dist)^2)) with the std over valid (directed)
+        # edges; each undirected edge counted twice identically, so the std
+        # matches the reference's per-unique-edge statistics
+        mean = jnp.sum(dist * adj) / n_edges_x2
+        var = jnp.sum(((dist - mean) ** 2) * adj) / n_edges_x2
+        std = jnp.sqrt(var)
+        return jnp.exp(-dist / jnp.maximum(2.0 * std ** 2, 1e-12))
+
+    if edge_type.startswith('model'):
+        metric = edge_type.split('_')[-1] if '_' in edge_type else 'lT'
+        pg = proba.reshape(gh, gw, -1)
+        nb = _neighbor_stack(pg)                            # (gh,gw,25,C)
+        diff = pg[:, :, None, :] - nb
+        if metric == 'l1':
+            dist = jnp.sum(jnp.abs(diff), axis=-1)
+        elif metric == 'l2':
+            dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+        else:
+            dist = jnp.max(diff * diff, axis=-1)
+        weights = _std_scaled_exp(dist)
+    elif edge_type == 'features':
+        mu = jnp.mean(features, axis=0)
+        sd = jnp.maximum(jnp.std(features, axis=0), 1e-12)
+        fg = ((features - mu) / sd).reshape(gh, gw, -1)
+        diff = fg[:, :, None, :] - _neighbor_stack(fg)
+        dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+        weights = _std_scaled_exp(dist)
+    elif edge_type == 'color':
+        cg = mean_color.reshape(gh, gw, -1)
+        diff = cg[:, :, None, :] - _neighbor_stack(cg)
+        dist = jnp.sum(jnp.abs(diff), axis=-1)
+        weights = _std_scaled_exp(dist)
+    else:
+        weights = jnp.ones((gh, gw, 25), jnp.float32)
+
+    if edge_type in ('model', 'model_l1', 'model_l2', 'model_lT',
+                     'features', 'color', 'spatial'):
+        if centers is None:
+            shape = labels.shape
+            coords = jnp.stack(
+                [jax.lax.broadcasted_iota(jnp.float32, shape, d) for d in range(2)]
+                + [jnp.ones(shape, jnp.float32)], axis=-1)
+            sums = grid_segment_sum(coords, labels, cfg)
+            centers = sums[:, :2] / jnp.maximum(sums[:, 2:], 1.0)
+        cgrid = centers.reshape(gh, gw, 2)
+        cdiff = cgrid[:, :, None, :] - _neighbor_stack(cgrid)
+        sdist = jnp.sqrt(jnp.sum(cdiff * cdiff, axis=-1))
+        mean_sd = jnp.sum(sdist * adj) / n_edges_x2
+        rel = sdist / jnp.maximum(mean_sd, 1e-12)
+        weights = weights / jnp.maximum(rel, 1e-12)
+
+    from pyimsegm_tpu.ops.graphcut import MIN_MAX_EDGE_WEIGHT
+    weights = jnp.clip(weights, 1.0 / MIN_MAX_EDGE_WEIGHT, MIN_MAX_EDGE_WEIGHT)
+    return weights * adj
+
+
+def grid_mrf_energy(label_grid, unary_grid, wgrid, pairwise):
+    """E(l) = sum unary + 1/2 sum_(k,d) w * P(l_k, l_nb) (each edge twice)."""
+    c = unary_grid.shape[-1]
+    u = jnp.sum(jnp.take_along_axis(unary_grid, label_grid[..., None], -1))
+    onehot = jax.nn.one_hot(label_grid, c, dtype=jnp.float32)
+    nb = _neighbor_stack(onehot)                            # (gh,gw,25,C)
+    pl = onehot @ pairwise                                  # (gh,gw,C)
+    pair = jnp.einsum('yxdc,yxc->yxd', nb, pl)
+    return u + 0.5 * jnp.sum(wgrid * pair)
+
+
+def solve_mrf_grid(unary, wgrid, pairwise, cfg: SlicConfig, n_mf_iters=30,
+                   n_icm_iters=12, damping=0.5):
+    """Dense mean-field + ICM on the 25-neighbor grid graph; scatter-free
+    drop-in for `pyimsegm_tpu.ops.graphcut.solve_mrf`.
+
+    :param unary: (K, C)
+    :param wgrid: (gh, gw, 25)
+    :returns: (K,) int32 labels
+    """
+    gh, gw = cfg.grid_h, cfg.grid_w
+    c = unary.shape[-1]
+    ug = unary.reshape(gh, gw, c).astype(jnp.float32)
+    pairwise = jnp.asarray(pairwise, jnp.float32)
+
+    def message(q):
+        qp = q @ pairwise.T                                  # (gh,gw,C)
+        nb = _neighbor_stack(qp)                             # (gh,gw,25,C)
+        return jnp.einsum('yxd,yxdc->yxc', wgrid, nb)
+
+    q0 = jax.nn.softmax(-ug, axis=-1)
+
+    def mf_step(_, q):
+        q_new = jax.nn.softmax(-(ug + message(q)), axis=-1)
+        return damping * q_new + (1.0 - damping) * q
+
+    q = jax.lax.fori_loop(0, n_mf_iters, mf_step, q0)
+    labels = jnp.argmin(ug + message(q), axis=-1).astype(jnp.int32)
+
+    def icm_step(_, carry):
+        labels, best_labels, best_e = carry
+        onehot = jax.nn.one_hot(labels, c, dtype=jnp.float32)
+        new_labels = jnp.argmin(ug + message(onehot), axis=-1).astype(jnp.int32)
+        e = grid_mrf_energy(new_labels, ug, wgrid, pairwise)
+        improved = e < best_e
+        best_labels = jnp.where(improved, new_labels, best_labels)
+        best_e = jnp.where(improved, e, best_e)
+        return new_labels, best_labels, best_e
+
+    e0 = grid_mrf_energy(labels, ug, wgrid, pairwise)
+    _, best_labels, _ = jax.lax.fori_loop(
+        0, n_icm_iters, icm_step, (labels, labels, e0))
+    return best_labels.reshape(-1)

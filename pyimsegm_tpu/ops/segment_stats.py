@@ -83,39 +83,61 @@ def image_gradient_sum(channel):
     return gy + gx
 
 
+def _reduce_sums(data_hw_f, seg_ids, num_segments, grid_ctx):
+    """(K, F) sums of (H, W, F) data — grid path (scatter-free masked tile
+    sums, see `pyimsegm_tpu.ops.grid`) when a SLIC grid context is given,
+    generic segment_sum otherwise."""
+    if grid_ctx is not None:
+        from pyimsegm_tpu.ops.grid import grid_segment_sum
+        labels2d, cfg = grid_ctx
+        return grid_segment_sum(data_hw_f, labels2d, cfg)
+    flat = data_hw_f.reshape(-1, data_hw_f.shape[-1])
+    return jax.ops.segment_sum(flat, seg_ids, num_segments=num_segments)
+
+
 def compute_channel_statistics(image, seg_ids, num_segments, feature_flags,
-                               grad_image=None):
+                               grad_image=None, grid_ctx=None):
     """All selected statistics for an (H, W, C) image over a label map.
 
     :param image: (H, W, C) float
     :param seg_ids: (H*W,) flat int32 labels
     :param feature_flags: subset of ('mean','std','energy','median','meanGrad')
     :param grad_image: optional precomputed gradient image (H, W, C)
+    :param grid_ctx: optional (labels2d, SlicConfig) enabling scatter-free
+        reductions for grid-structured labels
     :returns: (num_segments, C * n_flags) features, ordered stat-major like the
         reference (`descriptors.py:826-851`): all channels of 'mean', then all
         of 'std', ...
     """
     h, w, c = image.shape
-    flat = image.reshape(-1, c).astype(jnp.float32)
-    blocks = []
-    moments = segment_mean_std_energy(
-        flat, seg_ids, num_segments,
-        flags=tuple(f for f in ('mean', 'std', 'energy') if f in feature_flags))
-    for flag in ('mean', 'std', 'energy'):
-        if flag in feature_flags:
-            blocks.append(moments[flag])
+    image = image.astype(jnp.float32)
+    blocks = {}
+    moment_flags = tuple(f for f in ('mean', 'std', 'energy') if f in feature_flags)
+    if moment_flags:
+        ones = jnp.ones((h, w, 1), jnp.float32)
+        sums = _reduce_sums(jnp.concatenate([image, image * image, ones], -1),
+                            seg_ids, num_segments, grid_ctx)
+        cnt = sums[:, -1:]
+        safe = jnp.maximum(cnt, 1.0)
+        mean = sums[:, :c] / safe
+        energy = sums[:, c:2 * c] / safe
+        blocks['mean'] = mean
+        blocks['std'] = jnp.sqrt(jnp.maximum(energy - mean * mean, 0.0))
+        blocks['energy'] = energy
     if 'median' in feature_flags:
-        blocks.append(segment_median(flat, seg_ids, num_segments))
+        blocks['median'] = segment_median(image.reshape(-1, c), seg_ids,
+                                          num_segments)
     if 'meanGrad' in feature_flags:
         if grad_image is None:
             grad_image = jnp.stack(
                 [image_gradient_sum(image[..., i]) for i in range(c)], axis=-1)
-        gflat = grad_image.reshape(-1, c).astype(jnp.float32)
-        gsum = jax.ops.segment_sum(
-            jnp.concatenate([gflat, jnp.ones((gflat.shape[0], 1), gflat.dtype)], -1),
-            seg_ids, num_segments=num_segments)
-        blocks.append(gsum[:, :c] / jnp.maximum(gsum[:, -1:], 1.0))
-    return jnp.concatenate(blocks, axis=-1)
+        ones = jnp.ones((h, w, 1), jnp.float32)
+        gsum = _reduce_sums(
+            jnp.concatenate([grad_image.astype(jnp.float32), ones], -1),
+            seg_ids, num_segments, grid_ctx)
+        blocks['meanGrad'] = gsum[:, :c] / jnp.maximum(gsum[:, -1:], 1.0)
+    return jnp.concatenate([blocks[f] for f in NAMES_FEATURE_FLAGS
+                            if f in feature_flags], axis=-1)
 
 
 #: canonical ordering of statistic flags (reference `descriptors.py:36`)

@@ -31,6 +31,7 @@ regulariser absorbs stray pixels.
 
 import functools
 import math
+import os
 from typing import NamedTuple
 
 import jax
@@ -38,6 +39,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from pyimsegm_tpu.ops.color import rgb2lab
+
+
+def _pallas_available():
+    """Use the fused Pallas kernel on real TPU backends (override with
+    PYIMSEGM_SLIC_PALLAS=0/1; '1' forces interpret-mode off-TPU)."""
+    flag = os.environ.get('PYIMSEGM_SLIC_PALLAS', 'auto')
+    if flag == '0':
+        return False
+    if flag == '1':
+        return True
+    try:
+        return jax.devices()[0].platform == 'tpu'
+    except Exception:
+        return False
 
 #: iterations used by the reference SLIC (skimage default ``max_num_iter=10``)
 DEFAULT_SLIC_ITERS = 10
@@ -134,9 +149,12 @@ def _upsample_grid(grid, step):
 _BIG = 1e10
 
 
-@functools.partial(jax.jit, static_argnames=('cfg', 'n_iter', 'slico'))
-def slic_segment(image, cfg: SlicConfig, compactness, n_iter=DEFAULT_SLIC_ITERS, slico=False):
+def slic_segment(image, cfg: SlicConfig, compactness,
+                 n_iter=DEFAULT_SLIC_ITERS, slico=False):
     """Run SLIC; returns int32 labels of shape (height, width) in [0, K).
+
+    Dispatches to the fused Pallas kernel on TPU (non-SLICO); the pure-XLA
+    formulation below is the portable reference path.
 
     :param image: (H, W, 3) or (H, W) float array (any scale)
     :param cfg: static geometry from :func:`slic_config`
@@ -144,6 +162,51 @@ def slic_segment(image, cfg: SlicConfig, compactness, n_iter=DEFAULT_SLIC_ITERS,
     :param n_iter: assign/update iterations (static)
     :param slico: adaptive per-cluster compactness (SLIC-zero)
     """
+    if not slico and _pallas_available():
+        return _slic_segment_pallas(image, cfg, compactness, n_iter=n_iter)
+    return _slic_segment_xla(image, cfg, compactness, n_iter=n_iter, slico=slico)
+
+
+def _prepare_padded(image, cfg: SlicConfig):
+    """Shared preprocessing: Lab conversion, padding, coords, seed centers."""
+    gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
+    lab = _prepare_image(image)
+    ph, pw = cfg.pad_h - cfg.height, cfg.pad_w - cfg.width
+    lab_p = jnp.pad(lab, [(0, ph), (0, pw), (0, 0)], mode='edge')
+    valid = jnp.pad(jnp.ones((cfg.height, cfg.width), jnp.float32),
+                    [(0, ph), (0, pw)])
+    cy0 = (jnp.arange(gh, dtype=jnp.float32) + 0.5) * step - 0.5
+    cx0 = (jnp.arange(gw, dtype=jnp.float32) + 0.5) * step - 0.5
+    iy = jnp.clip(cy0.astype(jnp.int32), 0, cfg.height - 1)
+    ix = jnp.clip(cx0.astype(jnp.int32), 0, cfg.width - 1)
+    init_color = lab[iy][:, ix]
+    cyg, cxg = jnp.meshgrid(cy0, cx0, indexing='ij')
+    centers0 = jnp.concatenate([init_color, cyg[..., None], cxg[..., None]], axis=-1)
+    return lab_p, valid, centers0
+
+
+@functools.partial(jax.jit, static_argnames=('cfg', 'n_iter'))
+def _slic_segment_pallas(image, cfg: SlicConfig, compactness,
+                         n_iter=DEFAULT_SLIC_ITERS):
+    from pyimsegm_tpu.ops.slic_pallas import (
+        combine_partials, slic_iteration_pallas)
+    lab_p, valid, centers0 = _prepare_padded(image, cfg)
+    lab_chw = jnp.transpose(lab_p, (2, 0, 1))
+    sw2 = (jnp.asarray(compactness, jnp.float32) / cfg.step) ** 2
+
+    def body(_, centers):
+        _labels, partials = slic_iteration_pallas(lab_chw, valid, centers,
+                                                  sw2, cfg)
+        return combine_partials(partials, centers)
+
+    centers = jax.lax.fori_loop(0, n_iter, body, centers0)
+    labels, _ = slic_iteration_pallas(lab_chw, valid, centers, sw2, cfg)
+    return labels[:cfg.height, :cfg.width]
+
+
+@functools.partial(jax.jit, static_argnames=('cfg', 'n_iter', 'slico'))
+def _slic_segment_xla(image, cfg: SlicConfig, compactness,
+                      n_iter=DEFAULT_SLIC_ITERS, slico=False):
     gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
     k_sp = gh * gw
     lab = _prepare_image(image)
@@ -172,13 +235,26 @@ def slic_segment(image, cfg: SlicConfig, compactness, n_iter=DEFAULT_SLIC_ITERS,
 
     offsets = [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)]
 
+    def _shift(grid, di, dj):
+        # move cell (y, x) -> (y+di, x+dj), zero fill (pad+slice, no roll)
+        pad = [(max(di, 0), max(-di, 0)), (max(dj, 0), max(-dj, 0))] \
+            + [(0, 0)] * (grid.ndim - 2)
+        padded = jnp.pad(grid, pad)
+        return padded[max(-di, 0):max(-di, 0) + gh, max(-dj, 0):max(-dj, 0) + gw]
+
     def assign(centers, max_dc2):
-        """Elementwise argmin over the 9 candidate seed cells per pixel."""
+        """Elementwise argmin over the 9 candidate seed cells per pixel.
+
+        Returns (best_lb, best_o, dc2_own): labels, the winning offset index
+        (for scatter-free updates), and the color distance to the winner.
+        """
         best_d = jnp.full((hp, wp), _BIG, jnp.float32)
         best_lb = jnp.zeros((hp, wp), jnp.int32)
+        best_o = jnp.zeros((hp, wp), jnp.int8)
+        best_dc2 = jnp.zeros((hp, wp), jnp.float32)
         ty = jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 0)
         tx = jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 1)
-        for di, dj in offsets:
+        for oi, (di, dj) in enumerate(offsets):
             # neighbor seed of each grid cell, out-of-range cells disabled
             sy, sx = ty + di, tx + dj
             inb = (sy >= 0) & (sy < gh) & (sx >= 0) & (sx < gw)
@@ -201,36 +277,43 @@ def slic_segment(image, cfg: SlicConfig, compactness, n_iter=DEFAULT_SLIC_ITERS,
             take = d < best_d
             best_d = jnp.where(take, d, best_d)
             best_lb = jnp.where(take, lbf, best_lb)
-        return best_lb, best_d
+            best_o = jnp.where(take, jnp.int8(oi), best_o)
+            best_dc2 = jnp.where(take, dc2, best_dc2)
+        return best_lb, best_o, best_dc2
 
-    def update(labels):
-        flat_lb = labels.reshape(-1)
-        w = valid.reshape(-1, 1)
+    def update(best_o, best_dc2):
+        """Scatter-free center update: per-offset masked tile sums + shifts
+        (pixel contributions go to the seed their winning offset points at)."""
         data = jnp.concatenate(
-            [lab_p.reshape(-1, 3), py.reshape(-1, 1), px.reshape(-1, 1),
-             jnp.ones_like(w)], axis=-1) * w
-        sums = jax.ops.segment_sum(data, flat_lb, num_segments=k_sp)
-        cnt = sums[:, 5:6]
-        new = sums[:, :5] / jnp.maximum(cnt, 1.0)
-        return new.reshape(gh, gw, 5), cnt.reshape(gh, gw) > 0
+            [lab_p, py[..., None], px[..., None],
+             jnp.ones((hp, wp, 1), jnp.float32)], axis=-1) * valid[..., None]
+        sums = jnp.zeros((gh, gw, 6), jnp.float32)
+        max_dc = jnp.zeros((gh, gw), jnp.float32)
+        for oi, (di, dj) in enumerate(offsets):
+            mask = (best_o == oi)
+            part = (data * mask[..., None].astype(jnp.float32)) \
+                .reshape(gh, step, gw, step, 6).sum(axis=(1, 3))
+            sums = sums + _shift(part, di, dj)
+            if slico:
+                part_m = jnp.where(mask, best_dc2 * valid, 0.0) \
+                    .reshape(gh, step, gw, step).max(axis=(1, 3))
+                max_dc = jnp.maximum(max_dc, _shift(part_m, di, dj))
+        cnt = sums[..., 5:6]
+        new = sums[..., :5] / jnp.maximum(cnt, 1.0)
+        return new, cnt[..., 0] > 0, max_dc
 
     def body(_, carry):
         centers, max_dc2 = carry
-        labels, _ = assign(centers, max_dc2)
-        new_centers, nonempty = update(labels)
+        _labels, best_o, best_dc2 = assign(centers, max_dc2)
+        new_centers, nonempty, max_dc = update(best_o, best_dc2)
         centers = jnp.where(nonempty[..., None], new_centers, centers)
         if slico:
-            # track per-cluster max color distance for adaptive compactness
-            own = centers.reshape(k_sp, 5)[labels.reshape(-1)]
-            dc2 = jnp.sum((lab_p.reshape(-1, 3) - own[:, :3]) ** 2, axis=-1)
-            dc2 = dc2 * valid.reshape(-1)
-            new_m = jax.ops.segment_max(dc2, labels.reshape(-1), num_segments=k_sp)
-            max_dc2 = jnp.maximum(new_m.reshape(gh, gw), 1.0)
+            max_dc2 = jnp.maximum(max_dc, 1.0)
         return centers, max_dc2
 
     init_m = jnp.full((gh, gw), jnp.asarray(m2, jnp.float32))
     centers, max_dc2 = jax.lax.fori_loop(0, n_iter, body, (centers0, init_m))
-    labels, _ = assign(centers, max_dc2)
+    labels, _, _ = assign(centers, max_dc2)
     return labels[:cfg.height, :cfg.width]
 
 

@@ -33,16 +33,19 @@ def make_mesh(n_devices=None, axis_name='batch'):
 
 def _segment_one(image, model, *, cfg, feats_spec, gc_regul, gc_edge_type,
                  compactness):
+    from pyimsegm_tpu.ops.grid import grid_lookup
     labels = slic_ops.slic_segment(image, cfg, compactness)
     seg_ids = labels.ravel()
     k = cfg.n_segments
     features, _ = descriptors.compute_selected_features_color2d(
-        jnp.asarray(image, jnp.float32), seg_ids, k, dict(feats_spec))
+        jnp.asarray(image, jnp.float32), seg_ids, k, dict(feats_spec),
+        grid_ctx=(labels, cfg))
     proba = model.predict_proba(features)
     graph_labels = graphcut.segment_graph_cut_general(
         labels, proba, k, image=jnp.asarray(image, jnp.float32),
-        features=features, gc_regul=gc_regul, edge_type=gc_edge_type)
-    return graph_labels[labels], proba[labels]
+        features=features, gc_regul=gc_regul, edge_type=gc_edge_type,
+        grid_ctx=(labels, cfg))
+    return grid_lookup(graph_labels, labels, cfg), grid_lookup(proba, labels, cfg)
 
 
 @functools.partial(jax.jit,

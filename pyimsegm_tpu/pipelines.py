@@ -42,13 +42,14 @@ def _features_spec(dict_features):
     static_argnames=('cfg', 'feats_spec', 'slico', 'n_iter'))
 def _slic_features_core(image, cfg, feats_spec, compactness,
                         slico=False, n_iter=slic_ops.DEFAULT_SLIC_ITERS):
+    from pyimsegm_tpu.ops.grid import grid_segment_count
     labels = slic_ops.slic_segment(image, cfg, compactness, n_iter=n_iter, slico=slico)
     seg_ids = labels.ravel()
     k = cfg.n_segments
-    counts = jax.ops.segment_sum(jnp.ones_like(seg_ids, dtype=jnp.float32),
-                                 seg_ids, num_segments=k)
+    counts = grid_segment_count(labels, cfg)
     features, _ = descriptors.compute_selected_features_img2d(
-        jnp.asarray(image, jnp.float32), seg_ids, k, dict(feats_spec))
+        jnp.asarray(image, jnp.float32), seg_ids, k, dict(feats_spec),
+        grid_ctx=(labels, cfg))
     return labels, features, counts
 
 
@@ -64,11 +65,13 @@ def _pipe_unsup_core(image, *, cfg, feats_spec, nb_classes, estim_model,
     model = estim_class_model(features, nb_classes, estim_model, pca_coef,
                               use_scaler, sample_weight=mask, seed=seed)
     proba = model.predict_proba(features)
-    segm_soft = proba[labels]
+    from pyimsegm_tpu.ops.grid import grid_lookup
+    segm_soft = grid_lookup(proba, labels, cfg)
     graph_labels = graphcut.segment_graph_cut_general(
         labels, proba, cfg.n_segments, image=jnp.asarray(image, jnp.float32),
-        features=features, gc_regul=gc_regul, edge_type=gc_edge_type)
-    segm = graph_labels[labels]
+        features=features, gc_regul=gc_regul, edge_type=gc_edge_type,
+        grid_ctx=(labels, cfg))
+    segm = grid_lookup(graph_labels, labels, cfg)
     return segm, segm_soft, labels, features, proba, model
 
 
@@ -79,11 +82,13 @@ def _segment_with_model_core(image, model: ClassModel, *, cfg, feats_spec,
                              gc_regul, gc_edge_type, compactness):
     labels, features, counts = _slic_features_core(image, cfg, feats_spec, compactness)
     proba = model.predict_proba(features)
-    segm_soft = proba[labels]
+    from pyimsegm_tpu.ops.grid import grid_lookup
+    segm_soft = grid_lookup(proba, labels, cfg)
     graph_labels = graphcut.segment_graph_cut_general(
         labels, proba, cfg.n_segments, image=jnp.asarray(image, jnp.float32),
-        features=features, gc_regul=gc_regul, edge_type=gc_edge_type)
-    segm = graph_labels[labels]
+        features=features, gc_regul=gc_regul, edge_type=gc_edge_type,
+        grid_ctx=(labels, cfg))
+    segm = grid_lookup(graph_labels, labels, cfg)
     return segm, segm_soft
 
 

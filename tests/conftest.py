@@ -6,7 +6,10 @@ the driver's ``dryrun_multichip`` does the same.
 
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# force CPU unconditionally: the host environment may preset JAX_PLATFORMS to
+# a real accelerator (e.g. the axon TPU tunnel), and tests must never share
+# the single TPU with benchmarks
+os.environ['JAX_PLATFORMS'] = 'cpu'
 _flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in _flags:
     os.environ['XLA_FLAGS'] = (
