@@ -155,19 +155,24 @@ def forest_fit(key, x, y, sample_weight, n_classes, n_trees=32, depth=8,
                         proba.reshape(t, n_leaves, -1), depth)
 
 
-@jax.jit
-def forest_predict_proba(params: ForestParams, x):
-    """(N, C) averaged leaf distributions."""
+@functools.partial(jax.jit, static_argnames=('depth',))
+def _forest_predict_jit(feat, thr_store, leaf_proba, depth, x):
     x = x.astype(jnp.float32)
-    t = params.feat.shape[0]
+    t = feat.shape[0]
     n = x.shape[0]
     node = jnp.zeros((t, n), jnp.int32)
-    for _ in range(params.depth):
-        fidx = jnp.take_along_axis(params.feat, node, axis=1)    # (T, N)
-        thr = jnp.take_along_axis(params.thr, node, axis=1)
+    for _ in range(depth):
+        fidx = jnp.take_along_axis(feat, node, axis=1)           # (T, N)
+        thr = jnp.take_along_axis(thr_store, node, axis=1)
         fv = x[jnp.arange(n)[None, :], fidx]
         node = 2 * node + jnp.where(fv < thr, 1, 2)
-    leaf = node - (2 ** params.depth - 1)
+    leaf = node - (2 ** depth - 1)
     probs = jnp.take_along_axis(
-        params.leaf_proba, leaf[..., None], axis=1)               # (T, N, C)
+        leaf_proba, leaf[..., None], axis=1)                      # (T, N, C)
     return jnp.mean(probs, axis=0)
+
+
+def forest_predict_proba(params: ForestParams, x):
+    """(N, C) averaged leaf distributions."""
+    return _forest_predict_jit(params.feat, params.thr, params.leaf_proba,
+                               int(params.depth), x)

@@ -10,6 +10,8 @@ the reference numerics exactly (incl. cropped element sizes at the image
 border).
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -21,6 +23,7 @@ from pyimsegm_tpu.ops.morphology import disk_count_map
 HIST_CIRCLE_DIAGONALS = (10, 20, 30, 40, 50)
 
 
+@functools.partial(jax.jit, static_argnames=('nb_labels', 'diameters'))
 def label_hist_maps(segm, nb_labels, diameters=HIST_CIRCLE_DIAGONALS):
     """Per-pixel label histogram maps for each disk radius.
 
@@ -56,7 +59,7 @@ def compute_label_histograms_positions(segm, positions, diameters=HIST_CIRCLE_DI
             nb_labels = int(jnp.max(segm)) + 1
         else:
             nb_labels = segm.shape[-1]
-    counts, sizes = label_hist_maps(segm, nb_labels, diameters)
+    counts, sizes = label_hist_maps(segm, nb_labels, tuple(diameters))
     pos = jnp.asarray(positions, jnp.int32)
     h, w = segm.shape[:2]
     py = jnp.clip(pos[:, 0], 0, h - 1)
