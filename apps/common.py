@@ -1,0 +1,113 @@
+"""Shared CLI plumbing for the experiment apps.
+
+Mirrors the per-script boilerplate of the reference experiment scripts
+(`run_segm_slic_model_graphcut.py:128-201` and siblings): argparse with
+path validation, optional YAML config merge, experiment folder creation,
+image loading by declared type.
+"""
+
+import argparse
+import glob
+import logging
+import os
+
+import numpy as np
+
+from pyimsegm_tpu.utils import data_io
+from pyimsegm_tpu.utils.experiments import (
+    create_experiment_folder,
+    load_config_yaml,
+    save_config_yaml,
+    set_experiment_logger,
+    string_dict,
+)
+
+#: image loading modes (`run_segm_slic_model_graphcut.py:62`)
+TYPES_LOAD_IMAGE = ['2d_rgb', '2d_split', '2d_gray']
+
+
+def add_path_arg(parser, name, default, help_text, required=False):
+    parser.add_argument('--%s' % name, type=str, required=required,
+                        default=default, help=help_text)
+
+
+def parse_arg_params(parser, params):
+    """Parse args, validate path_* entries, merge optional YAML config
+    (the reference contract: config file < CLI args)."""
+    args = vars(parser.parse_args())
+    logging.info('ARG PARAMETERS: \n %r', args)
+    for k in (k for k in args if 'path' in k and isinstance(args[k], str)):
+        if args[k] in ('', 'none', None):
+            continue
+        args[k] = data_io.update_path(args[k])
+        p = os.path.dirname(args[k]) if '*' in os.path.basename(args[k]) \
+            else args[k]
+        if k.startswith('path_out'):
+            continue
+        if not os.path.exists(p):
+            raise FileNotFoundError('missing: (%s) "%s"' % (k, p))
+    if os.path.isfile(args.get('path_config') or ''):
+        params.update(load_config_yaml(args['path_config']))
+    params.update({k: v for k, v in args.items() if v is not None})
+    return params
+
+
+def setup_experiment(params, name_experiment, stamp_unique=False):
+    """Create the experiment folder, dump config, attach the file logger."""
+    os.makedirs(params['path_out'], exist_ok=True)
+    path_exp = create_experiment_folder(
+        params['path_out'], name_experiment + '_' + params.get('name', 'run'),
+        stamp_unique=stamp_unique)
+    params['path_exp'] = path_exp
+    save_config_yaml(os.path.join(path_exp, 'config.yml'),
+                     {k: v for k, v in params.items()
+                      if isinstance(v, (str, int, float, bool, list, dict))})
+    set_experiment_logger(path_exp)
+    logging.info(string_dict(params, 'EXPERIMENT PARAMETERS:'))
+    return path_exp
+
+
+def load_image_by_type(path_img, img_type='2d_rgb'):
+    """Load an image in the declared mode
+    (`run_segm_slic_model_graphcut.py:204-234`).
+
+    :returns: (image float in [0,1], name)
+    """
+    name = os.path.splitext(os.path.basename(path_img))[0]
+    if img_type == '2d_split':
+        img, _ = data_io.load_img_double_band_split(path_img)
+        image = np.stack([img] * 3, axis=-1) if np.asarray(img).ndim == 2 \
+            else img
+    else:
+        img, _ = data_io.load_image_2d(path_img)
+        img = np.asarray(img, float)
+        if img.max() > 1.5:
+            img = img / 255.0
+        if img_type == '2d_gray' and img.ndim == 3:
+            img = img.mean(axis=-1)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        image = img
+    return np.asarray(image, np.float32), name
+
+
+def list_images(path_pattern):
+    paths = sorted(glob.glob(path_pattern))
+    if not paths:
+        raise FileNotFoundError('no images found for "%s"' % path_pattern)
+    return paths
+
+
+def find_images_annots(path_imgs, path_annots):
+    """Match image and annotation files by basename; returns path pairs."""
+    df = data_io.find_files_match_names_across_dirs([path_imgs, path_annots])
+    return list(df['path_1']), list(df['path_2'])
+
+
+def export_segm(path_dir, name, segm, segm_soft=None):
+    os.makedirs(path_dir, exist_ok=True)
+    data_io.export_image(os.path.join(path_dir, name), np.asarray(segm),
+                         stretch_range=False)
+    if segm_soft is not None:
+        np.savez_compressed(os.path.join(path_dir, name + '.npz'),
+                            segm_soft=np.asarray(segm_soft))
