@@ -80,9 +80,13 @@ def load_image_by_type(path_img, img_type='2d_rgb'):
             else img
     else:
         img, _ = data_io.load_image_2d(path_img)
-        img = np.asarray(img, float)
-        if img.max() > 1.5:
-            img = img / 255.0
+        raw = np.asarray(img)
+        if raw.ndim == 3 and raw.shape[0] in (3, 4) \
+                and raw.shape[-1] not in (3, 4):
+            raw = np.moveaxis(raw[:3], 0, -1)      # channels-first TIFF stack
+        img = raw.astype(float)
+        if np.issubdtype(raw.dtype, np.integer) and img.max() > 1.5:
+            img = img / float(np.iinfo(raw.dtype).max)
         if img_type == '2d_gray' and img.ndim == 3:
             img = img.mean(axis=-1)
         if img.ndim == 2:

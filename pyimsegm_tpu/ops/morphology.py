@@ -66,7 +66,8 @@ def binary_closing(mask, radius):
 def disk_count_map(plane, radius):
     """For every pixel: sum of ``plane`` within a disk of ``radius`` —
     an O(radius * H * W) cumsum decomposition of the disk convolution
-    (disk = union of horizontal runs), no big 2D kernel.
+    (disk = union of horizontal runs), no big 2D kernel.  The row loop is a
+    ``lax.scan`` so the compiled program stays small for any radius.
 
     :param plane: (H, W) float
     :returns: (H, W) float counts
@@ -74,20 +75,23 @@ def disk_count_map(plane, radius):
     h, w = plane.shape
     cs = jnp.cumsum(plane, axis=1)
     cs = jnp.concatenate([jnp.zeros((h, 1), plane.dtype), cs], axis=1)
+    rows = _row_widths(radius)
+    dys = jnp.asarray([dy for dy, _ in rows], jnp.int32)
+    widths = jnp.asarray([wd for _, wd in rows], jnp.int32)
+    xs = jnp.arange(w)
+    ys = jnp.arange(h)
 
-    def row_sum(width):
-        # inclusive window [x-width, x+width] per pixel
-        hi = jnp.clip(jnp.arange(w) + width + 1, 0, w)
-        lo = jnp.clip(jnp.arange(w) - width, 0, w)
-        return cs[:, hi] - cs[:, lo]
-
-    out = jnp.zeros((h, w), plane.dtype)
-    for dy, width in _row_widths(radius):
-        rs = row_sum(width)
-        shifted = jnp.roll(rs, -dy, axis=0)
-        # rows shifted out of range contribute zero: mask explicitly
-        idx = jnp.arange(h) + dy
+    def step(acc, dy_width):
+        dy, width = dy_width
+        hi = jnp.clip(xs + width + 1, 0, w)
+        lo = jnp.clip(xs - width, 0, w)
+        # rows gathered at y+dy; out-of-range rows contribute zero
+        idx = ys + dy
         ok = (idx >= 0) & (idx < h)
-        shifted = jnp.where(ok[:, None], shifted, 0.0)
-        out = out + shifted
+        rs = cs[jnp.clip(idx, 0, h - 1)]
+        row = (rs[:, hi] - rs[:, lo]) * ok[:, None].astype(plane.dtype)
+        return acc + row, None
+
+    out, _ = jax.lax.scan(step, jnp.zeros((h, w), plane.dtype),
+                          (dys, widths))
     return out
