@@ -24,6 +24,7 @@ leave-P-images-out semantics (`classification.py:1401-1716`).
 """
 
 import logging
+import os
 import pickle
 
 import jax
@@ -381,6 +382,187 @@ def create_classif_search_train_export(clf_name, features, labels,
     if path_out:
         save_classifier(path_out, classif, clf_name)
     return classif, best_hyper
+
+
+def compute_tp_tn_fp_fn(annot, segm, label_positive=None):
+    """Binary TP/TN/FP/FN counts (`classification.py:1265-1310`); NaNs when
+    more than two labels appear.
+
+    >>> annot = np.array([[0, 9], [9, 0]])
+    >>> compute_tp_tn_fp_fn(annot, annot)
+    (2, 2, 0, 0)
+    """
+    y_true = np.asarray(annot).ravel()
+    y_pred = np.asarray(segm).ravel()
+    uq_labels = np.unique([y_true, y_pred]).tolist()
+    if len(uq_labels) > 2:
+        return np.nan, np.nan, np.nan, np.nan
+    if len(uq_labels) < 2:
+        return len(y_true), 0, 0, 0
+    if label_positive is None or label_positive not in uq_labels:
+        label_positive = uq_labels[-1]
+    uq_labels.remove(label_positive)
+    label_negative = uq_labels[0]
+    tp = int(np.sum((y_true == label_positive) & (y_pred == label_positive)))
+    tn = int(np.sum((y_true == label_negative) & (y_pred == label_negative)))
+    fp = int(np.sum((y_true == label_positive) & (y_pred == label_negative)))
+    fn = int(np.sum((y_true == label_negative) & (y_pred == label_positive)))
+    return tp, tn, fp, fn
+
+
+def compute_metric_fpfn_tpfn(annot, segm, label_positive=None):
+    """(FP + FN) / (TP + FN) (`classification.py:1313-1337`)."""
+    tp, _, fp, fn = compute_tp_tn_fp_fn(annot, segm, label_positive)
+    if tp is np.nan or (isinstance(tp, float) and np.isnan(tp)):
+        return np.nan
+    if (fp + fn) == 0:
+        return 0.
+    return float(fp + fn) / float(tp + fn)
+
+
+def compute_metric_tpfp_tpfn(annot, segm, label_positive=None):
+    """(TP + FP) / (TP + FN) (`classification.py:1340-1366`)."""
+    tp, _, fp, fn = compute_tp_tn_fp_fn(annot, segm, label_positive)
+    if tp is np.nan or (isinstance(tp, float) and np.isnan(tp)):
+        return np.nan
+    if (tp + fn) == 0:
+        return 0.
+    return float(tp + fp) / float(tp + fn)
+
+
+def compute_classif_stat_segm_annot(annot_segm_name, drop_labels=None,
+                                    relabel=False):
+    """Per-image metric row for (annot, segm, name)
+    (`classification.py:374-421`)."""
+    annot, segm, name = annot_segm_name
+    annot = np.asarray(annot).ravel()
+    segm = np.asarray(segm).ravel()
+    if drop_labels is not None:
+        keep = ~np.isin(annot, list(drop_labels))
+        annot, segm = annot[keep], segm[keep]
+    if relabel:
+        from pyimsegm_tpu.labeling import relabel_max_overlap_unique
+        segm = relabel_max_overlap_unique(annot[None, :], segm[None, :],
+                                          keep_bg=False).ravel()
+    stat = compute_classif_metrics(annot, segm)
+    stat['name'] = name
+    return stat
+
+
+def compute_stat_per_image(segms, annots, names=None, nb_workers=2,
+                           drop_labels=None, relabel=False):
+    """Metric table over image pairs (`classification.py:762-848`);
+    returns a DataFrame indexed by name."""
+    import pandas as pd
+    if len(segms) != len(annots):
+        raise RuntimeError('size of segment. (%i) and annot. (%i) should be'
+                           ' equal' % (len(segms), len(annots)))
+    if not names:
+        names = list(map(str, range(len(segms))))
+    rows = [compute_classif_stat_segm_annot((a, s, n), drop_labels, relabel)
+            for a, s, n in zip(annots, segms, names)]
+    df = pd.DataFrame(rows)
+    return df.set_index('name')
+
+
+def _f_classif_scores(features, labels):
+    """One-way ANOVA F statistic per feature (sklearn f_classif numerics)."""
+    features = np.asarray(features, float)
+    labels = np.asarray(labels)
+    classes = np.unique(labels)
+    n, _ = features.shape
+    overall_mean = features.mean(axis=0)
+    ss_between = np.zeros(features.shape[1])
+    ss_within = np.zeros(features.shape[1])
+    for c in classes:
+        grp = features[labels == c]
+        ss_between += len(grp) * (grp.mean(axis=0) - overall_mean) ** 2
+        ss_within += ((grp - grp.mean(axis=0)) ** 2).sum(axis=0)
+    df_between = len(classes) - 1
+    df_within = n - len(classes)
+    with np.errstate(divide='ignore', invalid='ignore'):
+        f = (ss_between / max(df_between, 1)) / \
+            np.maximum(ss_within / max(df_within, 1), 1e-30)
+    return f
+
+
+def feature_scoring_selection(features, labels, names=None, path_out=''):
+    """Rank features by forest split usage, F-test, k-Best, variance
+    (`classification.py:474-545`).  The tree importance is permutation
+    importance of the on-device forest (accuracy drop per shuffled feature).
+
+    :returns: (indices sorted by forest importance desc, DataFrame)
+    """
+    import pandas as pd
+    features = np.asarray(features, np.float32)
+    labels = np.asarray(labels)
+    clf = Classifier('RandForest', seed=0)
+    clf.fit(features, labels)
+    # permutation importance: accuracy drop when one feature is shuffled
+    rng = np.random.default_rng(0)
+    base_acc = clf.score(features, labels)
+    importance = np.zeros(features.shape[1])
+    for i in range(features.shape[1]):
+        shuffled = features.copy()
+        shuffled[:, i] = rng.permutation(shuffled[:, i])
+        importance[i] = max(base_acc - clf.score(shuffled, labels), 0.0)
+    importance /= max(importance.sum(), 1e-12)
+
+    f_test = _f_classif_scores(features, labels)
+    scores = {
+        'ExtTree': importance,
+        'F-test': f_test,
+        'k-Best': f_test,
+        'variance': features.var(axis=0),
+    }
+    indices = np.argsort(importance)[::-1]
+    if names is None or len(names) < features.shape[1]:
+        names = [str(i) for i in range(1, features.shape[1] + 1)]
+    df_scoring = pd.DataFrame(
+        [{**{k: scores[k][i] for k in scores}, 'feature': n}
+         for i, n in enumerate(names)]).set_index('feature')
+    if path_out and os.path.exists(path_out):
+        df_scoring.to_csv(os.path.join(path_out, 'feature_scoring.csv'))
+    return indices, df_scoring
+
+
+def eval_classif_cross_val_roc(clf_name, features, labels, cross_val=10,
+                               nb_steps=100, seed=0, **hyper):
+    """Mean binary-ised ROC over CV folds + AUC
+    (`classification.py:851-950`).
+
+    :returns: (DataFrame with FP/TP columns, mean AUC)
+    """
+    import pandas as pd
+    features = np.asarray(features)
+    labels = np.asarray(labels)
+    classes = np.unique(labels)
+    if isinstance(cross_val, int):
+        cross_val = CrossValidate(len(labels),
+                                  max(1, len(labels) // cross_val),
+                                  rand_seed=seed)
+    fp_space = np.linspace(0, 1, nb_steps)
+    tps, aucs = [], []
+    for train_idx, test_idx in cross_val:
+        clf = Classifier(clf_name, seed=seed, **hyper)
+        clf.fit(features[train_idx], labels[train_idx])
+        proba = clf.predict_proba(features[test_idx])
+        y = labels[test_idx]
+        # one-vs-rest micro ROC
+        onehot = (y[:, None] == classes[None, :]).astype(float)
+        score = proba.ravel()
+        truth = onehot.ravel()
+        order = np.argsort(-score)
+        truth = truth[order]
+        tp_cum = np.cumsum(truth) / max(truth.sum(), 1.0)
+        fp_cum = np.cumsum(1 - truth) / max((1 - truth).sum(), 1.0)
+        tps.append(np.interp(fp_space, np.concatenate([[0], fp_cum]),
+                             np.concatenate([[0], tp_cum])))
+        aucs.append(float(np.trapezoid(tps[-1], fp_space)))
+    mean_tp = np.mean(tps, axis=0)
+    mean_tp[0] = 0.0
+    df = pd.DataFrame({'FP': fp_space, 'TP': mean_tp})
+    return df, float(np.mean(aucs))
 
 
 def save_classifier(path_out, classif, clf_name='classif'):
