@@ -58,6 +58,11 @@ def _shift2d(grid2d, di, dj):
 def grid_segment_sum(data, labels, cfg: SlicConfig):
     """Sum ``data`` into per-superpixel bins without scatters.
 
+    Every pixel's label is one of the 3x3 grid neighbours of its tile, so the
+    reduction is one per-tile one-hot einsum on the MXU — a single pass over
+    the pixel data (the previous formulation re-read it 9 times) — followed by
+    nine tiny (gh, gw) grid shifts to route each offset bin to its seed.
+
     :param data: (H, W, F) float32 (H, W = cfg.height/width); contributions
         outside the image must already be zeroed by the caller if data was
         padded
@@ -69,12 +74,31 @@ def grid_segment_sum(data, labels, cfg: SlicConfig):
     gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
     data_p = _pad_to_grid(data, cfg)
     labels_p = _pad_to_grid(labels, cfg, fill=-2)
+    hp, wp = labels_p.shape
+
+    tile_y = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0) // step
+    tile_x = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1) // step
+    ly = labels_p // gw
+    lx = labels_p % gw
+    dy = ly - tile_y + 1
+    dx = lx - tile_x + 1
+    valid = (labels_p >= 0) & (dy >= 0) & (dy < 3) & (dx >= 0) & (dx < 3)
+    off = jnp.where(valid, dy * 3 + dx, 0)
+    onehot = jax.nn.one_hot(off, 9, dtype=data_p.dtype) \
+        * valid[..., None].astype(data_p.dtype)
+
+    # per-tile (step*step, 9)^T @ (step*step, F) matmuls on the MXU
+    d_t = data_p.reshape(gh, step, gw, step, f).transpose(0, 2, 1, 3, 4) \
+        .reshape(gh * gw, step * step, f)
+    o_t = onehot.reshape(gh, step, gw, step, 9).transpose(0, 2, 1, 3, 4) \
+        .reshape(gh * gw, step * step, 9)
+    out9 = jnp.einsum('tpo,tpf->tof', o_t, d_t,
+                      preferred_element_type=jnp.float32)
+    out9 = out9.reshape(gh, gw, 9, f)
+
     out = jnp.zeros((gh, gw, f), jnp.float32)
-    for di, dj in _OFFSETS:
-        nb_field = _neighbor_id_field(cfg, di, dj)
-        mask = (labels_p == nb_field).astype(jnp.float32)[..., None]
-        part = (data_p * mask).reshape(gh, step, gw, step, f).sum(axis=(1, 3))
-        out = out + _shift2d(part, di, dj)
+    for idx, (di, dj) in enumerate(_OFFSETS):
+        out = out + _shift2d(out9[:, :, idx], di, dj)
     return out.reshape(gh * gw, f)
 
 
