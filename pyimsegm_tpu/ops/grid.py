@@ -153,7 +153,13 @@ def _flip_channel_perm():
 
 def grid_adjacency(labels, cfg: SlicConfig):
     """(gh, gw, 25) float adjacency indicator between each superpixel and its
-    grid neighbors, built scatter-free from conn4 pixel pairs."""
+    grid neighbors, built scatter-free from conn4 pixel pairs.
+
+    Each directed pixel pair (a -> b) contributes to (a's grid cell,
+    channel of b's relative offset); both the routing to a's cell (one of the
+    3x3 tile neighbours) and the 5x5 channel are one-hot encoded and combined
+    in a single per-tile einsum on the MXU — one pass over the pixels instead
+    of nine masked (H, W, 25) reductions."""
     gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
     labels_p = _pad_to_grid(labels, cfg, fill=-2)
     hp, wp = labels_p.shape
@@ -162,34 +168,37 @@ def grid_adjacency(labels, cfg: SlicConfig):
     ga_y = labels_p // gw
     ga_x = labels_p % gw
 
-    adj = jnp.zeros((gh, gw, 25), jnp.float32)
-
-    def accumulate(adj, a, b, gay, gax, ty, tx):
-        """One-sided accumulation of pair (a -> b) into a's grid slot."""
+    def pair_counts(b):
         gb_y = b // gw
         gb_x = b % gw
-        dy = gb_y - gay
-        dx = gb_x - gax
-        pair_ok = (a != b) & (b >= 0) & (a >= 0) \
-            & (jnp.abs(dy) <= 2) & (jnp.abs(dx) <= 2)
-        ch = (dy + 2) * 5 + (dx + 2)                     # (hp, wp)
-        oh = jax.nn.one_hot(jnp.where(pair_ok, ch, 0), 25, dtype=jnp.float32)
-        oh = oh * pair_ok[..., None].astype(jnp.float32)
-        # attribute to a's tile-relative offset oa = ga - tile
-        for di in (-1, 0, 1):
-            for dj in (-1, 0, 1):
-                m = ((gay - ty == di) & (gax - tx == dj)).astype(jnp.float32)
-                part = (oh * m[..., None]) \
-                    .reshape(gh, step, gw, step, 25).max(axis=(1, 3))
-                adj = jnp.maximum(adj, _shift2d(part, di, dj))
-        return adj
+        dy = gb_y - ga_y
+        dx = gb_x - ga_x
+        oa_y = ga_y - tile_y + 1
+        oa_x = ga_x - tile_x + 1
+        ok = ((labels_p != b) & (b >= 0) & (labels_p >= 0)
+              & (jnp.abs(dy) <= 2) & (jnp.abs(dx) <= 2)
+              & (oa_y >= 0) & (oa_y < 3) & (oa_x >= 0) & (oa_x < 3))
+        ch = (dy + 2) * 5 + (dx + 2)
+        oa = oa_y * 3 + oa_x
+        oh_a = jax.nn.one_hot(jnp.where(ok, oa, 0), 9, dtype=jnp.float32) \
+            * ok[..., None].astype(jnp.float32)
+        oh_c = jax.nn.one_hot(jnp.where(ok, ch, 0), 25, dtype=jnp.float32)
+        a_t = oh_a.reshape(gh, step, gw, step, 9).transpose(0, 2, 1, 3, 4) \
+            .reshape(gh * gw, step * step, 9)
+        c_t = oh_c.reshape(gh, step, gw, step, 25).transpose(0, 2, 1, 3, 4) \
+            .reshape(gh * gw, step * step, 25)
+        return jnp.einsum('tpa,tpc->tac', a_t, c_t,
+                          preferred_element_type=jnp.float32) \
+            .reshape(gh, gw, 9, 25)
 
-    # horizontal pairs: b = right neighbor
+    # horizontal pairs: b = right neighbor ; vertical pairs: b = lower
     b_h = jnp.concatenate([labels_p[:, 1:], jnp.full((hp, 1), -2, labels_p.dtype)], 1)
-    adj = accumulate(adj, labels_p, b_h, ga_y, ga_x, tile_y, tile_x)
-    # vertical pairs: b = lower neighbor
     b_v = jnp.concatenate([labels_p[1:, :], jnp.full((1, wp), -2, labels_p.dtype)], 0)
-    adj = accumulate(adj, labels_p, b_v, ga_y, ga_x, tile_y, tile_x)
+    cnt9 = pair_counts(b_h) + pair_counts(b_v)
+    adj = jnp.zeros((gh, gw, 25), jnp.float32)
+    for idx, (di, dj) in enumerate(_OFFSETS):
+        adj = adj + _shift2d(cnt9[:, :, idx], di, dj)
+    adj = (adj > 0).astype(jnp.float32)
 
     # symmetrize: edge (a, d) implies (a+d, -d); partner[y,x,d] = adj at grid
     # cell (y+dy, x+dx), flipped channel
