@@ -105,6 +105,10 @@ def grid_segment_sum(data, labels, cfg: SlicConfig):
 def grid_lookup(table, labels, cfg: SlicConfig):
     """Per-pixel lookup ``table[labels]`` without a gather.
 
+    Each pixel selects among its tile's 3x3 neighbour seeds: one per-tile
+    one-hot einsum against the (9, C) stacked neighbour values — a single
+    pass over the pixels.
+
     :param table: (K,) or (K, C) array
     :param labels: (H, W) int32 grid-structured labels
     :returns: (H, W) or (H, W, C) array
@@ -114,15 +118,27 @@ def grid_lookup(table, labels, cfg: SlicConfig):
         table = table[:, None]
     c = table.shape[-1]
     gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
-    tgrid = table.reshape(gh, gw, c)
+    tgrid = table.reshape(gh, gw, c).astype(jnp.float32)
+    # (gh, gw, 9, C): value of each 3x3 neighbour seed per tile
+    t9 = jnp.stack([_shift2d(tgrid, -di, -dj) for di, dj in _OFFSETS], axis=2)
+
     labels_p = _pad_to_grid(labels, cfg, fill=-2)
-    out = jnp.zeros(labels_p.shape + (c,), table.dtype)
-    for di, dj in _OFFSETS:
-        nb_field = _neighbor_id_field(cfg, di, dj)
-        # value of the (di,dj)-neighbor seed, broadcast to pixels
-        val = _upsample_grid(_shift2d(tgrid, -di, -dj), step)
-        out = jnp.where((labels_p == nb_field)[..., None], val, out)
-    out = out[:cfg.height, :cfg.width]
+    hp, wp = labels_p.shape
+    tile_y = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0) // step
+    tile_x = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1) // step
+    dy = labels_p // gw - tile_y + 1
+    dx = labels_p % gw - tile_x + 1
+    valid = (labels_p >= 0) & (dy >= 0) & (dy < 3) & (dx >= 0) & (dx < 3)
+    off = jnp.where(valid, dy * 3 + dx, 0)
+    onehot = jax.nn.one_hot(off, 9, dtype=jnp.float32) \
+        * valid[..., None].astype(jnp.float32)
+    o_t = onehot.reshape(gh, step, gw, step, 9).transpose(0, 2, 1, 3, 4) \
+        .reshape(gh * gw, step * step, 9)
+    out = jnp.einsum('tpo,toc->tpc', o_t, t9.reshape(gh * gw, 9, c),
+                     preferred_element_type=jnp.float32)
+    out = out.reshape(gh, gw, step, step, c).transpose(0, 2, 1, 3, 4) \
+        .reshape(hp, wp, c)[:cfg.height, :cfg.width]
+    out = out.astype(table.dtype)
     return out[..., 0] if squeeze else out
 
 
