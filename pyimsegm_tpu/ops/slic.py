@@ -99,29 +99,28 @@ def _gaussian_kernel1d(sigma, radius):
 
 
 def gaussian_blur(image, sigma):
-    """Separable Gaussian blur of an (H, W, C) image, edge-padded."""
+    """Separable Gaussian blur of an (H, W, C) image, edge-padded.
+
+    Implemented as weighted shifted-slice sums (one fused elementwise pass
+    per axis) — no convolution layout churn."""
     if sigma <= 0:
         return image
     radius = max(1, int(round(3.0 * sigma)))
     k = _gaussian_kernel1d(sigma, radius)
-    pad = [(radius, radius), (0, 0), (0, 0)]
-    x = jnp.pad(image, pad, mode='edge')
+    taps = 2 * radius + 1
 
-    # convolve along H then W via depthwise conv on a channels-last layout
     def conv_axis(arr, axis):
-        arr = jnp.moveaxis(arr, axis, -1)          # (..., L)
-        shape = arr.shape
-        flat = arr.reshape(-1, 1, shape[-1])       # (N, 1, L) NCW
-        out = jax.lax.conv_general_dilated(
-            flat, k.reshape(1, 1, -1), window_strides=(1,),
-            padding='VALID', dimension_numbers=('NCH', 'OIH', 'NCH'))
-        out = out.reshape(shape[:-1] + (out.shape[-1],))
-        return jnp.moveaxis(out, -1, axis)
+        pad = [(0, 0)] * arr.ndim
+        pad[axis] = (radius, radius)
+        x = jnp.pad(arr, pad, mode='edge')
+        n = arr.shape[axis]
+        out = None
+        for t in range(taps):
+            sl = jax.lax.slice_in_dim(x, t, t + n, axis=axis)
+            out = k[t] * sl if out is None else out + k[t] * sl
+        return out
 
-    x = conv_axis(x, 0)
-    x = jnp.pad(x, [(0, 0), (radius, radius), (0, 0)], mode='edge')
-    x = conv_axis(x, 1)
-    return x
+    return conv_axis(conv_axis(image, 0), 1)
 
 
 def _prepare_image(image):
