@@ -207,3 +207,106 @@ def feature_names(dict_features, gray3d=False):
                 ch = ['tLM_%s-ch%i' % (bname, i + 1) for i in range(3)]
                 names += _stat_names(ch, flags)
     return names
+
+
+# -------------------------------------------------- windowed label hists ---
+
+def adjust_bounding_box_crop(image_size, element_size, position):
+    """Clip a window centred at ``position`` to the image; returns
+    (im_begin, im_end, el_begin, el_end) per axis (`descriptors.py:1372-1410`).
+
+    >>> adjust_bounding_box_crop((10, 10), (5, 5), (2, 2))
+    ((0, 0), (5, 5), (0, 0), (5, 5))
+    """
+    im_begin, im_end, el_begin, el_end = [], [], [], []
+    for dim in range(len(element_size)):
+        half = element_size[dim] // 2
+        lo = int(position[dim]) - half
+        hi = lo + element_size[dim]
+        im_begin.append(max(lo, 0))
+        im_end.append(min(hi, image_size[dim]))
+        el_begin.append(max(-lo, 0))
+        el_end.append(element_size[dim] - max(hi - image_size[dim], 0))
+    return tuple(im_begin), tuple(im_end), tuple(el_begin), tuple(el_end)
+
+
+def compute_label_hist_segm(segm, position, struc_elem, nb_labels):
+    """Label histogram inside a structuring element around a point
+    (`descriptors.py:1413-1457`).
+
+    >>> segm = np.zeros((10, 10), dtype=int)
+    >>> segm[1:9, 2:8] = 1
+    >>> segm[3:7, 4:6] = 2
+    >>> compute_label_hist_segm(segm, [6, 6], np.ones((3, 3)), 3)
+    (array([0., 7., 2.]), 9.0)
+    """
+    segm = np.asarray(segm)
+    struc_elem = np.asarray(struc_elem)
+    if segm.ndim != len(position):
+        raise ValueError('dim of position %r should match the segmentation'
+                         ' %r dim' % (position, segm.shape))
+    ib, ie, bb, be = adjust_bounding_box_crop(segm.shape, struc_elem.shape,
+                                              position)
+    sel = segm[ib[0]:ie[0], ib[1]:ie[1]]
+    el = struc_elem[bb[0]:be[0], bb[1]:be[1]]
+    if sel.shape != el.shape:
+        raise ValueError('segmentation %s and element %s should match'
+                         % (sel.shape, el.shape))
+    hist = np.zeros(nb_labels)
+    for lb in range(nb_labels):
+        hist[lb] = np.sum((sel == lb) & (el == 1))
+    return hist, float(np.sum(struc_elem))
+
+
+def compute_label_hist_proba(segm, position, struc_elem):
+    """Windowed histogram over per-label probability planes
+    (`descriptors.py:1498-1533`).
+
+    >>> seg = np.zeros((50, 50, 2), dtype=float)
+    >>> seg[15:35, 20:40, 1] = 1
+    >>> seg[:, :, 0] = 1 - seg[:, :, 1]
+    >>> compute_label_hist_proba(seg, (15, 20), np.ones((12, 13), dtype=int))
+    (array([114.,  42.]), 156)
+    """
+    segm = np.asarray(segm)
+    struc_elem = np.asarray(struc_elem)
+    if segm.ndim != (len(position) + 1):
+        raise ValueError('segment. (%r) should have larger (+1) dim than'
+                         ' position %i' % (segm.shape, len(position)))
+    ib, ie, bb, be = adjust_bounding_box_crop(segm.shape[:struc_elem.ndim],
+                                              struc_elem.shape, position)
+    sel = segm[ib[0]:ie[0], ib[1]:ie[1], :]
+    el = struc_elem[bb[0]:be[0], bb[1]:be[1]]
+    hist = np.sum(sel * el[..., None], axis=(0, 1))
+    return hist, int(np.sum(struc_elem))
+
+
+def norm_features(features, scaler=None):
+    """Standard-score normalisation with a reusable (mean, std) scaler
+    (`descriptors.py:866-878`)."""
+    features = np.asarray(features, float)
+    if scaler is None:
+        scaler = (features.mean(axis=0), features.std(axis=0) + 1e-12)
+    mu, sd = scaler
+    return (features - mu) / sd, scaler
+
+
+# -------------------------- public re-exports for reference API parity -----
+# (the reference keeps these in `imsegm.descriptors`; the device kernels live
+# in `pyimsegm_tpu.ops`)
+
+from pyimsegm_tpu.ops.histogram import (  # noqa: E402,F401
+    HIST_CIRCLE_DIAGONALS,
+    compute_label_histograms_positions,
+)
+from pyimsegm_tpu.ops.ray import (  # noqa: E402,F401
+    compute_ray_features_positions,
+    compute_ray_features_segm_2d,
+    interpolate_ray_dist,
+    reconstruct_ray_features_2d,
+    reduce_close_points,
+    shift_ray_features,
+)
+from pyimsegm_tpu.ops.filters import (  # noqa: E402,F401
+    create_filter_bank_lm_2d,
+)

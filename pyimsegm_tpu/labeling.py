@@ -223,3 +223,132 @@ def assume_bg_on_boundary(segm, bg_label=0, boundary_size=1):
         lut[bg_label] = boundary_lb
         segm = np.array(lut)[segm]
     return segm
+
+
+# ----------------------------------------------------- contours & distance ---
+
+def neighbour_connect4(seg, label, pos):
+    """True when any conn4 neighbour differs from ``label``
+    (`labeling.py:17-32`).
+
+    >>> neighbour_connect4(np.eye(5), 1, (2, 2))
+    True
+    >>> neighbour_connect4(np.ones((5, 5)), 1, (3, 3))
+    False
+    """
+    seg = np.asarray(seg)
+    return any(seg[pos[0] + a, pos[1] + b] != label
+               for a, b in [(-1, 0), (0, -1), (1, 0), (0, 1)])
+
+
+def _contour_mask(seg, label=1, include_boundary=False):
+    """Vectorized conn4 inner-boundary mask of one label
+    (`labeling.py:34-79` without the pixel loops)."""
+    seg = np.asarray(seg)
+    is_lb = seg == label
+    diff = np.zeros(seg.shape, bool)
+    diff[1:, :] |= seg[1:, :] != seg[:-1, :]
+    diff[:-1, :] |= seg[:-1, :] != seg[1:, :]
+    diff[:, 1:] |= seg[:, 1:] != seg[:, :-1]
+    diff[:, :-1] |= seg[:, :-1] != seg[:, 1:]
+    res = is_lb & diff
+    # interior-only semantics: the reference never marks the first/last
+    # row/col unless include_boundary
+    res[0, :] = res[-1, :] = res[:, 0] = res[:, -1] = False
+    if include_boundary:
+        res[0, :] |= is_lb[0, :]
+        res[-1, :] |= is_lb[-1, :]
+        res[:, 0] |= is_lb[:, 0]
+        res[:, -1] |= is_lb[:, -1]
+    return res
+
+
+def contour_binary_map(seg, label=1, include_boundary=False):
+    """Binary inner-contour image of one label (`labeling.py:34-79`).
+
+    >>> img = np.zeros((6, 6), dtype=int)
+    >>> img[1:5, 2:] = 1
+    >>> contour_binary_map(img)
+    array([[0, 0, 0, 0, 0, 0],
+           [0, 0, 1, 1, 1, 0],
+           [0, 0, 1, 0, 0, 0],
+           [0, 0, 1, 0, 0, 0],
+           [0, 0, 1, 1, 1, 0],
+           [0, 0, 0, 0, 0, 0]])
+    """
+    return _contour_mask(seg, label, include_boundary).astype(int)
+
+
+def contour_coords(seg, label=1, include_boundary=False):
+    """Contour pixel coordinates of one label (`labeling.py:82-117`).
+
+    >>> img = np.zeros((6, 6), dtype=int)
+    >>> img[1:5, 2:] = 1
+    >>> contour_coords(img)
+    [[1, 2], [1, 3], [1, 4], [2, 2], [3, 2], [4, 2], [4, 3], [4, 4]]
+    """
+    inner = _contour_mask(seg, label, include_boundary=False)
+    coords = np.argwhere(inner).tolist()
+    if include_boundary:
+        seg = np.asarray(seg)
+        w, h = seg.shape[:2]
+        for i in range(w):
+            if seg[i, 0] == label:
+                coords.append([i, 0])
+            if seg[i, -1] == label:
+                coords.append([i, h - 1])
+        for j in range(h):
+            if seg[0, j] == label:
+                coords.append([0, j])
+            if seg[-1, j] == label:
+                coords.append([w - 1, j])
+    return coords
+
+
+def binary_image_from_coords(coords, size):
+    """Rasterise contour points (`labeling.py:120-143`)."""
+    contour_map = np.zeros(size, dtype=int)
+    w, h = size
+    for cd in coords:
+        if 0 <= cd[0] < w and 0 <= cd[1] < h:
+            contour_map[cd[0], cd[1]] = 1
+    return contour_map
+
+
+def compute_distance_map(seg, label=1):
+    """Euclidean distance from the label's inner contour
+    (`labeling.py:146-169`).
+
+    >>> img = np.zeros((6, 6), dtype=int)
+    >>> img[1:5, 2:] = 1
+    >>> np.round(compute_distance_map(img)[1], 2).tolist()
+    [2.0, 1.0, 0.0, 0.0, 0.0, 1.0]
+    """
+    contour_map = 1 - contour_binary_map(seg, label)
+    return ndimage.distance_transform_edt(contour_map)
+
+
+def sequence_labels_merge(labels_stack, dict_colors, labels_free,
+                          change_label=-1):
+    """Merge a temporal stack of labelings: keep labels constant over time
+    (free labels wildcard), else ``change_label`` (`labeling.py:396-436`).
+
+    >>> dict_colors = {0: [], 1: [], 2: []}
+    >>> sequence_labels_merge(np.ones((8, 1, 1)), dict_colors, [0])
+    array([[1]])
+    >>> sequence_labels_merge(np.array([[1], [0], [1], [1], [1], [1], [0], [0]]), dict_colors, [0])
+    array([1])
+    """
+    labels_stack = np.array(labels_stack)
+    im_labels = np.full(labels_stack.shape[1:], change_label, dtype=int)
+    labels_used = [lb for lb in dict_colors if lb not in labels_free]
+    lb_all = labels_used + list(labels_free) + [change_label]
+    if not all(lb in lb_all for lb in np.unique(labels_stack)):
+        raise ValueError('some extra labels in image stack')
+    mask_free = mask_segm_labels(labels_stack, labels_free)
+    for lb in labels_used:
+        mask1 = mask_segm_labels(labels_stack, [lb], mask_free)
+        mask2 = mask_segm_labels(labels_stack, [lb])
+        mask = np.logical_and(np.all(mask1, axis=0), np.any(mask2, axis=0))
+        im_labels[mask] = lb
+    return im_labels
