@@ -497,3 +497,55 @@ def cut_object(img, mask, padding, use_mask=False, bg_color=None,
         region = mask[min_row:max_row, min_col:max_col].astype(bool)
         img_cut[~region, ...] = bg_color
     return img_cut
+
+
+# ------------------------------------------------------------------ nifti ---
+
+def convert_img_2_nifti_gray(path_img, path_out):
+    """Convert an image to grayscale NIfTI (`data_io.py:509-544`); uses the
+    self-contained writer in `pyimsegm_tpu.utils.nifti`."""
+    from pyimsegm_tpu.ops.color import rgb2gray
+    from pyimsegm_tpu.utils.nifti import save_nifti
+    if not os.path.isfile(path_img):
+        raise FileNotFoundError('missing input: %s' % path_img)
+    if not os.path.exists(path_out):
+        raise FileNotFoundError('missing output: %s' % path_out)
+    name_out = os.path.splitext(os.path.basename(path_img))[0] + '.nii'
+    path_img_out = os.path.join(path_out, name_out)
+    img = np.asarray(io_imread(path_img), float)
+    if img.ndim == 3:
+        img = np.asarray(rgb2gray(img / max(img.max(), 1e-9)))
+    img = np.swapaxes(img, 1, 0)
+    return save_nifti(path_img_out, img.astype(np.float32))
+
+
+def convert_img_2_nifti_rgb(path_img, path_out):
+    """Convert an RGB image to NIfTI RGB24 (`data_io.py:547-582`)."""
+    from pyimsegm_tpu.utils.nifti import save_nifti
+    if not os.path.isfile(path_img):
+        raise FileNotFoundError('missing input: %s' % path_img)
+    if not os.path.exists(path_out):
+        raise FileNotFoundError('missing output: %s' % path_out)
+    name_out = os.path.splitext(os.path.basename(path_img))[0] + '.nii'
+    path_img_out = os.path.join(path_out, name_out)
+    img = np.asarray(io_imread(path_img))
+    if img.ndim != 3 or img.shape[-1] < 3:
+        raise ImageDimensionError('expected RGB image, got %r' % (img.shape,))
+    if img.dtype != np.uint8:
+        img = (img / max(img.max(), 1e-9) * 255).astype(np.uint8)
+    img = np.swapaxes(img[..., :3], 1, 0)
+    return save_nifti(path_img_out, np.ascontiguousarray(img))
+
+
+def convert_nifti_2_img(path_img_in, path_img_out):
+    """Convert a NIfTI file back to a standard image (`data_io.py:585-638`)."""
+    from pyimsegm_tpu.utils.nifti import load_nifti
+    if not os.path.isfile(path_img_in):
+        raise FileNotFoundError('missing input: %s' % path_img_in)
+    img = load_nifti(path_img_in)
+    img = np.swapaxes(img, 1, 0)
+    if img.dtype != np.uint8:
+        img = (np.clip(img / max(float(img.max()), 1e-9), 0, 1) * 255
+               ).astype(np.uint8)
+    io_imsave(path_img_out, img)
+    return path_img_out
