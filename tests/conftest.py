@@ -15,6 +15,12 @@ if 'xla_force_host_platform_device_count' not in _flags:
     os.environ['XLA_FLAGS'] = (
         _flags + ' --xla_force_host_platform_device_count=8').strip()
 
+import jax  # noqa: E402
+
+# the axon sitecustomize registers the TPU platform via jax.config, which
+# overrides the env var — force CPU explicitly before any backend init
+jax.config.update('jax_platforms', 'cpu')
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
