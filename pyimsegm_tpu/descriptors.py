@@ -46,6 +46,12 @@ def _stat_names(ch_names, flags):
     return ['%s_%s' % (n, f) for f in NAMES_FEATURE_FLAGS if f in flags for n in ch_names]
 
 
+def _get_gabor_bank():
+    if 'gabor' not in _BANK_CACHE:
+        _BANK_CACHE['gabor'] = filter_ops.create_filter_bank_gabor_2d()
+    return _BANK_CACHE['gabor']
+
+
 def compute_selected_features_color2d(image, seg_ids, num_segments, dict_features,
                                       grid_ctx=None):
     """Features for a 2D color image over flat superpixel ids.
@@ -80,7 +86,28 @@ def compute_selected_features_color2d(image, seg_ids, num_segments, dict_feature
         feats.append(f)
         names += n
 
-    unknown = [k for k in dict_features if k not in color_keys + texture_keys]
+    gabor_keys = [k for k in dict_features if k.startswith('tGabor')]
+    for key in gabor_keys:
+        flags = tuple(dict_features[key])
+        bank = _get_gabor_bank()
+        img = filter_ops.subtract_background(image, sigma=150.0)
+        responses = filter_ops.filter_bank_response(img, bank)
+        for bi, bname in enumerate(bank.names):
+            feats.append(segment_stats.compute_channel_statistics(
+                responses[bi], seg_ids, num_segments, flags,
+                grid_ctx=grid_ctx))
+            ch = ['tGabor_%s-ch%i' % (bname, i + 1) for i in range(3)]
+            names += _stat_names(ch, flags)
+
+    lbp_keys = [k for k in dict_features if k.startswith('tLBP')]
+    for _key in lbp_keys:
+        f, n = filter_ops.lbp_histogram_features(image, seg_ids, num_segments,
+                                                 grid_ctx=grid_ctx)
+        feats.append(f)
+        names += n
+
+    unknown = [k for k in dict_features
+               if k not in color_keys + texture_keys + gabor_keys + lbp_keys]
     if unknown:
         raise ValueError('unrecognised feature groups: %r' % unknown)
     features = jnp.concatenate(feats, axis=-1)

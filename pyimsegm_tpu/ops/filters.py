@@ -160,3 +160,103 @@ def subtract_background(image, sigma=150.0, downsample=8):
     small = gaussian_blur(small, sigma / ds)
     big = jax.image.resize(small, (hs * ds, ws * ds, c), method='linear')
     return image - big[:h, :w]
+
+
+# --------------------------------------------------------------- Gabor ------
+
+def _gabor_kernel(sigma, theta, frequency, support):
+    """Real Gabor kernel (cosine carrier, normalised)."""
+    radius = support // 2
+    y, x = np.mgrid[-radius:radius + 1, -radius:radius + 1].astype(np.float64)
+    xr = x * np.cos(theta) + y * np.sin(theta)
+    yr = -x * np.sin(theta) + y * np.cos(theta)
+    env = np.exp(-(xr ** 2 + yr ** 2) / (2.0 * sigma ** 2))
+    g = env * np.cos(2 * np.pi * frequency * xr)
+    g -= g.sum() * env / max(env.sum(), 1e-12)       # zero-DC within envelope
+    n = np.abs(g).sum()
+    return g / max(n, 1e-12)
+
+
+def create_filter_bank_gabor_2d(radius=16, sigmas=(2.0, 4.0),
+                                frequencies=(0.1, 0.2, 0.3),
+                                nb_orient=6) -> FilterBank:
+    """Gabor bank as an optional extra texture family ('tGabor'); same
+    FilterBank layout as the LM bank — orientation max per
+    (sigma, frequency) battery."""
+    support = 2 * radius + 1
+    kernels, slices, names = [], [], []
+    pos = 0
+    for sigma in sigmas:
+        for freq in frequencies:
+            battery = [_gabor_kernel(sigma, np.pi * o / nb_orient, freq,
+                                     support) for o in range(nb_orient)]
+            kernels.extend(battery)
+            slices.append((pos, pos + nb_orient))
+            names.append('sigma%.1f-freq%.2f-gabor' % (sigma, freq))
+            pos += nb_orient
+    stack = np.stack(kernels).astype(np.float32)
+    return FilterBank(stack, tuple(slices), tuple(names))
+
+
+# ----------------------------------------------------------------- LBP ------
+
+#: uniform-LBP code LUT: 8-neighbour patterns with <=2 transitions map to
+#: their number of set bits (0..8), everything else to bin 9
+_LBP_UNIFORM_LUT = None
+
+
+def _lbp_uniform_lut():
+    global _LBP_UNIFORM_LUT
+    if _LBP_UNIFORM_LUT is None:
+        lut = np.full(256, 9, np.int32)
+        for code in range(256):
+            bits = [(code >> i) & 1 for i in range(8)]
+            transitions = sum(bits[i] != bits[(i + 1) % 8] for i in range(8))
+            if transitions <= 2:
+                lut[code] = sum(bits)
+        _LBP_UNIFORM_LUT = lut
+    return _LBP_UNIFORM_LUT
+
+
+def lbp_codes(channel, uniform=True):
+    """Per-pixel 8-neighbour local binary pattern codes, fully vectorized
+    (8 shifted comparisons; edge-replicated borders).
+
+    :param channel: (H, W) float
+    :returns: (H, W) int32 codes in [0, 256) or uniform bins [0, 10)
+    """
+    x = jnp.asarray(channel, jnp.float32)
+    xp = jnp.pad(x, 1, mode='edge')
+    h, w = x.shape
+    # neighbours in circular order starting east, counter-clockwise
+    offs = [(0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1), (1, 0),
+            (1, 1)]
+    code = jnp.zeros((h, w), jnp.int32)
+    for bit, (dy, dx) in enumerate(offs):
+        nb = xp[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+        code = code + ((nb >= x).astype(jnp.int32) << bit)
+    if uniform:
+        code = jnp.asarray(_lbp_uniform_lut())[code]
+    return code
+
+
+def lbp_histogram_features(image, seg_ids, num_segments, uniform=True,
+                           grid_ctx=None):
+    """Per-superpixel normalised LBP histograms ('tLBP' feature family).
+
+    :param image: (H, W, C) float
+    :returns: ((num_segments, C * n_bins) features, names)
+    """
+    from pyimsegm_tpu.ops.segment_stats import _reduce_sums
+    image = jnp.asarray(image, jnp.float32)
+    h, w, c = image.shape
+    n_bins = 10 if uniform else 256
+    feats, names = [], []
+    for ch in range(c):
+        codes = lbp_codes(image[..., ch], uniform=uniform)
+        onehot = jax.nn.one_hot(codes, n_bins, dtype=jnp.float32)
+        sums = _reduce_sums(onehot, seg_ids, num_segments, grid_ctx)
+        total = jnp.maximum(jnp.sum(sums, axis=1, keepdims=True), 1.0)
+        feats.append(sums / total)
+        names += ['tLBP-ch%i_bin%i' % (ch + 1, b) for b in range(n_bins)]
+    return jnp.concatenate(feats, axis=1), names
