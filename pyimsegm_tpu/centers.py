@@ -40,6 +40,11 @@ CENTER_PARAMS = {
     'nb_classif_search': 50,
     'dict_relabel': None,
     'center_dist_thr': 50,
+    # positive-class probability threshold for candidate detection; the
+    # reference uses plain argmax (= 0.5 for the binary case,
+    # `run_center_prediction.py:54-91`) — 0.3 measures substantially better
+    # recall at equal precision on the bundled ovary data (see QUALITY.md)
+    'detect_proba_thr': 0.3,
 }
 
 #: DBSCAN defaults (`run_center_clustering.py:46-49`)
@@ -176,11 +181,18 @@ def train_center_classifier(list_segms, list_imgs, list_centers, params=None,
 def detect_center_candidates(name, img, segm, centers_gt, slic, points,
                              features, params, classif: Classifier):
     """Classify candidate points and keep the positives
-    (`run_center_prediction.py:54-91`).
+    (`run_center_prediction.py:54-91`); a ``detect_proba_thr`` below 0.5
+    trades precision for recall on the positive class.
 
     :returns: (candidate points (P, 2), labels (P,))
     """
-    labels = classif.predict(features)
+    thr = (params or {}).get('detect_proba_thr', 0.5)
+    classes = list(np.asarray(classif.classes_))
+    if thr != 0.5 and 1 in classes:
+        proba = classif.predict_proba(features)
+        labels = (proba[:, classes.index(1)] >= thr).astype(int)
+    else:
+        labels = classif.predict(features)
     candidates = np.asarray(points)[np.asarray(labels) == 1]
     return candidates, labels
 

@@ -190,7 +190,9 @@ def _slic_segment_pallas(image, cfg: SlicConfig, compactness,
     from pyimsegm_tpu.ops.slic_pallas import (
         combine_partials, slic_iteration_pallas)
     lab_p, valid, centers0 = _prepare_padded(image, cfg)
-    lab_chw = jnp.transpose(lab_p, (2, 0, 1))
+    # bf16 pixel buffer: halves the dominant per-iteration HBM read; the
+    # kernel computes distances in f32 (cast after load)
+    lab_chw = jnp.transpose(lab_p, (2, 0, 1)).astype(jnp.bfloat16)
     sw2 = (jnp.asarray(compactness, jnp.float32) / cfg.step) ** 2
 
     def body(_, centers):

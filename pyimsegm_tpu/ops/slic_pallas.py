@@ -51,9 +51,11 @@ def _slic_iter_kernel(lab_ref, centers_ref, valid_ref, spatial_ref,
     wp = cfg.pad_w
     i = pl.program_id(0)
 
-    l0 = lab_ref[0, 0]
-    l1 = lab_ref[1, 0]
-    l2 = lab_ref[2, 0]                                   # (step, wp)
+    # pixels are stored bf16 in HBM (halves the per-iteration read traffic);
+    # all arithmetic is f32
+    l0 = lab_ref[0, 0].astype(jnp.float32)
+    l1 = lab_ref[1, 0].astype(jnp.float32)
+    l2 = lab_ref[2, 0].astype(jnp.float32)               # (step, wp)
     valid = valid_ref[0]
     sw = spatial_ref[0, 0]
 
@@ -154,7 +156,8 @@ def slic_iteration_pallas(lab_chw, valid, centers, spatial_w2, cfg: SlicConfig):
             jax.ShapeDtypeStruct((gh, step, cfg.pad_w), jnp.int32),
             jax.ShapeDtypeStruct((gh, 54, gw), jnp.float32),
         ],
-    )(lab_chw.reshape(3, gh, step, cfg.pad_w), centers_pad, valid.reshape(gh, step, cfg.pad_w), spatial)
+    )(lab_chw.reshape(3, gh, step, cfg.pad_w), centers_pad,
+      valid.reshape(gh, step, cfg.pad_w), spatial)
     labels = labels.reshape(cfg.pad_h, cfg.pad_w)
     partials = jnp.transpose(partials.reshape(gh, 9, 6, gw), (0, 3, 1, 2))
     return labels, partials
