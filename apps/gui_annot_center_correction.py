@@ -15,7 +15,6 @@ Example::
 """
 
 import argparse
-import glob
 import logging
 import os
 import sys

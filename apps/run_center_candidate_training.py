@@ -27,7 +27,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from apps import common  # noqa: E402
 from pyimsegm_tpu import centers as ctr  # noqa: E402
-from pyimsegm_tpu import classification  # noqa: E402
 from pyimsegm_tpu.utils import data_io  # noqa: E402
 from pyimsegm_tpu.utils.experiments import append_final_stat  # noqa: E402
 

@@ -9,7 +9,6 @@ Feature name grammar (matches `descriptors.py:804-808,1035,1103`):
   ``color-ch1_mean``, ``lab-ch2_std``, ``tLM_sigma1.4-edge-ch1_mean``, ...
 """
 
-import functools
 
 import jax.numpy as jnp
 import numpy as np

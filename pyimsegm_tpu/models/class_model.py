@@ -15,7 +15,6 @@ PCA keeps shapes static: the full rotation is always applied and components
 beyond the requested explained-variance mass are masked to zero.
 """
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax

@@ -8,7 +8,6 @@ a boolean validity mask.  For a planar region adjacency graph E <= 3K-6, so
 ``E_MAX = 4*K`` never truncates in practice.
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ max-reduce window with the element footprint; TPU-friendly via
 ``lax.reduce_window`` over shifted slices of the footprint rows.
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp

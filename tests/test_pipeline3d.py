@@ -4,7 +4,6 @@ import numpy as np
 
 from pyimsegm_tpu import pipelines
 from pyimsegm_tpu.ops.slic3d import segment_slic_img3d_gray
-from pyimsegm_tpu.utils.data_samples import sample_segment_vertical_3d
 
 
 def test_slic3d_segments_volume(rng):
