@@ -596,3 +596,197 @@ def load_classifier(path):
         lambda a: jnp.asarray(a) if isinstance(a, np.ndarray) else a,
         state['params'])
     return clf
+
+# ----------------------------- search objects & dataset helpers ------------
+# Reference-parity surface (`classification.py:127-283,608-654,953-1080,1146`)
+
+def create_clf_pipeline(name_classif=DEFAULT_CLASSIF_NAME, pca_coef=0.95):
+    """Scaler + PCA + classifier pipeline (`classification.py:127-143`);
+    the :class:`Classifier` already folds the scaler/PCA stages in."""
+    return Classifier(name_classif, pca_coef=pca_coef)
+
+
+def create_pipeline_neuron_net():
+    """Simple neural-network pipeline (`classification.py:271-283`)."""
+    return Classifier('MLP')
+
+
+def create_clf_param_search_grid(name_classif=DEFAULT_CLASSIF_NAME):
+    """Exhaustive hyper-parameter grid keyed like the reference's sklearn
+    pipelines, ``classif__<param>`` (`classification.py:146-208`).
+
+    >>> sorted(create_clf_param_search_grid('KNN'))
+    ['classif__k']
+    """
+    space = CLF_PARAM_DISTRIBUTIONS.get(name_classif, {})
+    return {'classif__%s' % k: list(v) for k, v in space.items()}
+
+
+def create_clf_param_search_distrib(name_classif=DEFAULT_CLASSIF_NAME):
+    """Randomised-search distributions (`classification.py:211-258`); here
+    discrete lists sampled uniformly."""
+    return create_clf_param_search_grid(name_classif)
+
+
+def search_params_cut_down_max_nb_iter(clf_parameters, nb_iter):
+    """Bound random-search iterations by the size of the discrete grid
+    (`classification.py:953-977`).
+
+    >>> search_params_cut_down_max_nb_iter({'a': [1, 2], 'b': [1, 2, 3]}, 100)
+    6
+    >>> search_params_cut_down_max_nb_iter({'a': [1, 2]}, 1)
+    1
+    """
+    total = 1
+    for vals in clf_parameters.values():
+        try:
+            total *= len(vals)
+        except TypeError:   # continuous distribution -> unbounded
+            return nb_iter
+    return min(total, nb_iter)
+
+
+class ClassifSearch:
+    """Randomised/grid hyper-parameter search with CV, the counterpart of the
+    reference's sklearn ``GridSearchCV``/``RandomizedSearchCV`` wrapper
+    (`classification.py:980-1024`).  After :meth:`fit`: ``best_estimator_``,
+    ``best_params_``, ``best_score_``, ``cv_results_``."""
+
+    def __init__(self, clf_name, params=None, search_type='random',
+                 cross_val=10, nb_iter=10, pca_coef=None, seed=0):
+        self.clf_name = clf_name
+        grid = params if params is not None \
+            else create_clf_param_search_grid(clf_name)
+        self.params = {k.split('__', 1)[-1]: list(v) for k, v in grid.items()}
+        self.search_type = search_type
+        self.cross_val = cross_val
+        self.nb_iter = search_params_cut_down_max_nb_iter(self.params, nb_iter)
+        self.pca_coef = pca_coef
+        self.seed = seed
+        self.best_estimator_ = None
+        self.best_params_ = None
+        self.best_score_ = None
+        self.cv_results_ = None
+
+    def _candidates(self):
+        import itertools
+        keys = sorted(self.params)
+        if self.search_type == 'grid':
+            for combo in itertools.product(*(self.params[k] for k in keys)):
+                yield dict(zip(keys, combo))
+            return
+        rng = np.random.default_rng(self.seed)
+        seen = set()
+        for _ in range(self.nb_iter * 5):
+            if len(seen) >= self.nb_iter:
+                return
+            cand = {k: self.params[k][rng.integers(len(self.params[k]))]
+                    for k in keys}
+            sig = tuple(sorted(cand.items()))
+            if sig not in seen:
+                seen.add(sig)
+                yield cand
+
+    def fit(self, features, labels):
+        features = np.asarray(features, np.float32)
+        labels = np.asarray(labels)
+        results = {'params': [], 'mean_test_score': []}
+        best_score, best_params = -np.inf, {}
+        for cand in self._candidates():
+            scores = eval_classif_cross_val_scores(
+                self.clf_name, features, labels, cross_val=self.cross_val,
+                pca_coef=self.pca_coef, seed=self.seed, **cand)
+            score = float(np.mean(scores))
+            results['params'].append(cand)
+            results['mean_test_score'].append(score)
+            if score > best_score:
+                best_score, best_params = score, cand
+        self.cv_results_ = results
+        self.best_params_, self.best_score_ = best_params, best_score
+        self.best_estimator_ = Classifier(self.clf_name,
+                                          pca_coef=self.pca_coef,
+                                          seed=self.seed, **best_params)
+        self.best_estimator_.fit(features, labels)
+        return self
+
+
+def create_classif_search(name_clf, clf_pipeline=None, nb_labels=2,
+                          search_type='random', cross_val=10,
+                          eval_metric='f1', nb_iter=10, nb_workers=1):
+    """Build an (unfitted) hyper-parameter search object
+    (`classification.py:980-1024`)."""
+    params = (create_clf_param_search_grid(name_clf)
+              if search_type == 'grid'
+              else create_clf_param_search_distrib(name_clf))
+    pca_coef = getattr(clf_pipeline, 'pca_coef', None)
+    return ClassifSearch(name_clf, params=params, search_type=search_type,
+                         cross_val=cross_val, nb_iter=nb_iter,
+                         pca_coef=pca_coef)
+
+
+def export_results_clf_search(path_out, clf_name, clf_search):
+    """Write search scores + best params next to the pickled classifier
+    (`classification.py:608-632`)."""
+    if not os.path.isdir(path_out):
+        raise FileNotFoundError('missing folder: %s' % path_out)
+    import pandas as pd
+    res = clf_search.cv_results_ or {'params': [], 'mean_test_score': []}
+    df = pd.DataFrame({'params': [repr(p) for p in res['params']],
+                       'mean_test_score': res['mean_test_score']})
+    path_csv = os.path.join(path_out, 'search_results_%s.csv' % clf_name)
+    df.to_csv(path_csv)
+    path_txt = os.path.join(path_out, 'search_params_best_%s.txt' % clf_name)
+    with open(path_txt, 'w') as fp:
+        fp.write('score: %r\nparams: %r\n'
+                 % (clf_search.best_score_, clf_search.best_params_))
+    return path_csv
+
+
+def relabel_sequential(labels, uq_labels=None):
+    """Relabel to a dense 0..K-1 range (`classification.py:635-653`).
+
+    >>> relabel_sequential([0, 0, 0, 5, 5, 5, 0, 5])
+    [0, 0, 0, 1, 1, 1, 0, 1]
+    """
+    labels = np.asarray(labels)
+    if uq_labels is None:
+        uq_labels = np.unique(labels)
+    lut = {lb: i for i, lb in enumerate(uq_labels)}
+    return [lut[lb] for lb in labels.tolist()]
+
+
+def shuffle_features_labels(features, labels, rand_seed=None):
+    """Joint random permutation of samples (`classification.py:1027-1051`)."""
+    features = np.asarray(features)
+    labels = np.asarray(labels)
+    rng = np.random.default_rng(rand_seed)
+    perm = rng.permutation(len(labels))
+    return features[perm], labels[perm]
+
+
+def convert_dict_label_features_2_vectors(dict_features):
+    """{label: [feature rows]} -> (features, labels)
+    (`classification.py:1054-1065`)."""
+    features, labels = [], []
+    for lb in dict_features:
+        rows = np.asarray(dict_features[lb])
+        features.append(rows)
+        labels += [lb] * len(rows)
+    return np.concatenate(features), labels
+
+
+def compose_dict_label_features(features, labels):
+    """(features, labels) -> {label: feature rows}
+    (`classification.py:1068-1080`)."""
+    features = np.asarray(features)
+    labels = np.asarray(labels)
+    return {lb: features[labels == lb] for lb in np.unique(labels)}
+
+
+def unique_rows(data):
+    """Distinct rows of a 2D matrix (`classification.py:1146-1157`).
+
+    >>> unique_rows(np.array([[1, 2], [1, 2], [3, 4]])).tolist()
+    [[1, 2], [3, 4]]
+    """
+    return np.unique(np.ascontiguousarray(data), axis=0)

@@ -174,19 +174,29 @@ def compute_selected_features_gray3d(volume, seg_ids, num_segments, dict_feature
     for key in texture_keys:
         bank_type = key.split('_')[-1] if '_' in key else 'normal'
         flags = tuple(dict_features[key])
-        bank = _get_bank(bank_type)
-        # per-slice 2D background subtraction + bank response, like the
-        # reference treats z-slices independently (`descriptors.py:969-994`)
-        img = jnp.stack([filter_ops.subtract_background(volume[z][..., None], 150.0)[..., 0]
-                         for z in range(volume.shape[0])])
-        resp_slices = [filter_ops.filter_bank_response(img[z][..., None], bank)
-                       for z in range(volume.shape[0])]
-        responses = jnp.stack(resp_slices, axis=1)[..., 0]   # (B, Z, H, W)
-        for bi, bname in enumerate(bank.names):
-            feats.append(_gray3d_statistics(responses[bi], seg_ids, num_segments, flags))
-            names += ['tLM_%s_%s' % (bname, f) for f in flags]
+        f, n = _texture_features_gray3d(volume, seg_ids, num_segments, flags,
+                                        bank_type)
+        feats.append(f)
+        names += n
     features = jnp.concatenate(feats, axis=-1)
     return jnp.nan_to_num(features), names
+
+
+def _texture_features_gray3d(volume, seg_ids, num_segments, flags, bank_type):
+    """LM texture statistics over a gray volume: per-slice 2D background
+    subtraction + bank response (the reference treats z-slices independently,
+    `descriptors.py:969-994`), reduced per 3D segment."""
+    bank = _get_bank(bank_type)
+    img = jnp.stack([filter_ops.subtract_background(volume[z][..., None], 150.0)[..., 0]
+                     for z in range(volume.shape[0])])
+    resp_slices = [filter_ops.filter_bank_response(img[z][..., None], bank)
+                   for z in range(volume.shape[0])]
+    responses = jnp.stack(resp_slices, axis=1)[..., 0]   # (B, Z, H, W)
+    feats, names = [], []
+    for bi, bname in enumerate(bank.names):
+        feats.append(_gray3d_statistics(responses[bi], seg_ids, num_segments, flags))
+        names += ['tLM_%s_%s' % (bname, f) for f in flags]
+    return jnp.concatenate(feats, axis=-1), names
 
 
 def _gray3d_statistics(volume, seg_ids, num_segments, flags):
@@ -315,6 +325,345 @@ def norm_features(features, scaler=None):
         scaler = (features.mean(axis=0), features.std(axis=0) + 1e-12)
     mu, sd = scaler
     return (features - mu) / sd, scaler
+
+
+# ------------------- per-statistic twins (host reference + device) ---------
+# The reference exposes numpy_*/cython_* implementation pairs
+# (`descriptors.py:209-702`); here the numpy_* twins are host golden
+# references and the cython_* names are aliases of the device (TPU segment
+# reduction) implementations, keeping the dual-implementation surface.
+
+def _label_counts(seg, nb_lbs):
+    counts = np.bincount(np.asarray(seg).ravel(), minlength=nb_lbs).astype(float)
+    counts[counts == 0] = -1   # empty-segment guard (`descriptors.py:329-331`)
+    return counts
+
+
+def numpy_img2d_color_mean(img, seg):
+    """Per-segment channel means, pure numpy (`descriptors.py:299-334`).
+
+    >>> img = np.array([[[1., 0., 0.]] * 3 + [[0., 1., 0.]] * 3] * 2)
+    >>> seg = np.array([[0] * 3 + [1] * 3] * 2)
+    >>> numpy_img2d_color_mean(img, seg)
+    array([[1., 0., 0.],
+           [0., 1., 0.]])
+    """
+    img, seg = np.asarray(img, float), np.asarray(seg)
+    nb = int(seg.max()) + 1
+    counts = _label_counts(seg, nb)
+    sums = np.stack([np.bincount(seg.ravel(), weights=img[..., c].ravel(),
+                                 minlength=nb) for c in range(img.shape[-1])], 1)
+    return sums / counts[:, None]
+
+
+def numpy_img2d_color_energy(img, seg):
+    """Per-segment channel mean of squares (`descriptors.py:364-398`)."""
+    img = np.asarray(img, float)
+    return numpy_img2d_color_mean(img ** 2, seg)
+
+
+def numpy_img2d_color_std(img, seg, means=None):
+    """Per-segment channel standard deviation (`descriptors.py:337-361`)."""
+    if means is None:
+        means = numpy_img2d_color_mean(img, seg)
+    energy = numpy_img2d_color_energy(img, seg)
+    return np.sqrt(np.maximum(energy - np.asarray(means) ** 2, 0.0))
+
+
+def numpy_img2d_color_median(img, seg):
+    """Per-segment channel median (`descriptors.py:420-455`)."""
+    img, seg = np.asarray(img, float), np.asarray(seg)
+    nb = int(seg.max()) + 1
+    flat_seg = seg.ravel()
+    flat = img.reshape(-1, img.shape[-1])
+    out = np.zeros((nb, img.shape[-1]))
+    for lb in range(nb):
+        sel = flat[flat_seg == lb]
+        if len(sel):
+            out[lb] = np.median(sel, axis=0)
+    return out
+
+
+def numpy_img3d_gray_mean(img, seg):
+    """Per-segment means over a gray volume (`descriptors.py:560-587`)."""
+    img, seg = np.asarray(img, float), np.asarray(seg)
+    nb = int(seg.max()) + 1
+    counts = _label_counts(seg, nb)
+    sums = np.bincount(seg.ravel(), weights=img.ravel(), minlength=nb)
+    return sums / counts
+
+
+def numpy_img3d_gray_energy(img, seg):
+    """Per-segment mean of squares over a gray volume
+    (`descriptors.py:617-644`)."""
+    return numpy_img3d_gray_mean(np.asarray(img, float) ** 2, seg)
+
+
+def numpy_img3d_gray_std(img, seg, means=None):
+    """Per-segment std over a gray volume (`descriptors.py:590-614`)."""
+    if means is None:
+        means = numpy_img3d_gray_mean(img, seg)
+    energy = numpy_img3d_gray_energy(img, seg)
+    return np.sqrt(np.maximum(energy - np.asarray(means) ** 2, 0.0))
+
+
+def numpy_img3d_gray_median(img, seg):
+    """Per-segment median over a gray volume (`descriptors.py:671-702`)."""
+    img, seg = np.asarray(img, float), np.asarray(seg)
+    nb = int(seg.max()) + 1
+    out = np.zeros(nb)
+    flat_seg, flat = seg.ravel(), img.ravel()
+    for lb in range(nb):
+        sel = flat[flat_seg == lb]
+        if len(sel):
+            out[lb] = np.median(sel)
+    return out
+
+
+def _device_color_stat(img, seg, stat):
+    seg = np.asarray(seg)
+    nb = int(seg.max()) + 1
+    flat = jnp.asarray(np.asarray(img, np.float32)).reshape(-1, np.shape(img)[-1])
+    res = segment_stats.segment_mean_std_energy(
+        flat, jnp.asarray(seg.ravel(), jnp.int32), nb, flags=(stat,))
+    return np.asarray(res[stat], float)
+
+
+def cython_img2d_color_mean(img, seg):
+    """Device (TPU segment-sum) twin of :func:`numpy_img2d_color_mean` —
+    the role the Cython kernel plays in the reference
+    (`features_cython.pyx:81`)."""
+    return _device_color_stat(img, seg, 'mean')
+
+
+def cython_img2d_color_energy(img, seg):
+    """Device twin of :func:`numpy_img2d_color_energy` (pyx:101)."""
+    return _device_color_stat(img, seg, 'energy')
+
+
+def cython_img2d_color_std(img, seg, means=None):
+    """Device twin of :func:`numpy_img2d_color_std` (pyx:122)."""
+    return _device_color_stat(img, seg, 'std')
+
+
+def _device_gray3d_stat(img, seg, stat):
+    seg = np.asarray(seg)
+    nb = int(seg.max()) + 1
+    flat = jnp.asarray(np.asarray(img, np.float32)).reshape(-1, 1)
+    res = segment_stats.segment_mean_std_energy(
+        flat, jnp.asarray(seg.ravel(), jnp.int32), nb, flags=(stat,))
+    return np.asarray(res[stat], float)[:, 0]
+
+
+def cython_img3d_gray_mean(img, seg):
+    """Device twin of :func:`numpy_img3d_gray_mean` (pyx:144); unlike the
+    reference's OpenMP kernel this reduction is race-free across z-slices
+    (`descriptors.py:461-463` documents the reference's race)."""
+    return _device_gray3d_stat(img, seg, 'mean')
+
+
+def cython_img3d_gray_energy(img, seg):
+    """Device twin of :func:`numpy_img3d_gray_energy` (pyx:169)."""
+    return _device_gray3d_stat(img, seg, 'energy')
+
+
+def cython_img3d_gray_std(img, seg, mean=None):
+    """Device twin of :func:`numpy_img3d_gray_std` (pyx:194)."""
+    return _device_gray3d_stat(img, seg, 'std')
+
+
+def cython_label_hist_seg2d(segm_select, struc_elem, nb_labels):
+    """Label histogram of a pre-cropped window under a binary element
+    (`descriptors.py:1462-1495`).
+
+    >>> segm = np.zeros((10, 10), dtype=int)
+    >>> segm[1:9, 2:8] = 1
+    >>> cython_label_hist_seg2d(segm[5:8, 5:8], np.ones((3, 3)), 2)
+    array([0., 9.])
+    """
+    segm_select = np.asarray(segm_select)
+    struc_elem = np.asarray(struc_elem)
+    if segm_select.shape != struc_elem.shape:
+        raise ValueError('segm %r and element %r should match'
+                         % (segm_select.shape, struc_elem.shape))
+    sel = segm_select[struc_elem == 1]
+    return np.bincount(sel.ravel(), minlength=nb_labels).astype(float)[:nb_labels]
+
+
+# -------------------------------------------- statistic dispatchers --------
+
+def compute_image2d_color_statistic(image, segm,
+                                    feature_flags=NAMES_FEATURE_FLAGS,
+                                    color_name='color'):
+    """Complete per-segment statistics for a color 2D image with the
+    reference signature (`descriptors.py:787-863`): takes the 2D label map,
+    returns host arrays.
+
+    :returns: ((nb_segments, F) features, list of F names)
+    """
+    segm = np.asarray(segm)
+    nb = int(segm.max()) + 1
+    flags = tuple(f for f in NAMES_FEATURE_FLAGS if f in tuple(feature_flags))
+    feats = segment_stats.compute_channel_statistics(
+        jnp.asarray(np.asarray(image), jnp.float32),
+        jnp.asarray(segm.ravel(), jnp.int32), nb, flags)
+    ch = ['%s-ch%i' % (color_name, i + 1) for i in range(np.shape(image)[-1])]
+    return np.nan_to_num(np.asarray(feats)), _stat_names(ch, flags)
+
+
+def compute_image3d_gray_statistic(image, segm,
+                                   feature_flags=NAMES_FEATURE_FLAGS,
+                                   ch_name='gray'):
+    """Complete per-segment statistics for a gray 3D volume
+    (`descriptors.py:705-784`).
+
+    :returns: ((nb_segments, F) features, list of F names)
+    """
+    segm = np.asarray(segm)
+    nb = int(segm.max()) + 1
+    flags = tuple(f for f in NAMES_FEATURE_FLAGS if f in tuple(feature_flags))
+    feats = _gray3d_statistics(jnp.asarray(np.asarray(image), jnp.float32),
+                               jnp.asarray(segm.ravel(), jnp.int32), nb, flags)
+    names = ['%s_%s' % (ch_name, f) for f in flags]
+    return np.nan_to_num(np.asarray(feats)), names
+
+
+def compute_texture_desc_lm_img2d_clr(img, seg, feature_flags,
+                                      bank_type='normal'):
+    """LM texture statistics with the reference signature
+    (`descriptors.py:1041-1106`)."""
+    seg = np.asarray(seg)
+    nb = int(seg.max()) + 1
+    flags = tuple(f for f in NAMES_FEATURE_FLAGS if f in tuple(feature_flags))
+    feats, names = _texture_features_color2d(
+        jnp.asarray(np.asarray(img), jnp.float32),
+        jnp.asarray(seg.ravel(), jnp.int32), nb, flags, bank_type)
+    return np.nan_to_num(np.asarray(feats)), names
+
+
+def compute_texture_desc_lm_img3d_val(img, seg, feature_flags,
+                                      bank_type='normal'):
+    """LM texture statistics over a gray volume (`descriptors.py:997-1038`):
+    per-z-slice bank responses reduced per 3D segment."""
+    seg = np.asarray(seg)
+    nb = int(seg.max()) + 1
+    flags = tuple(f for f in NAMES_FEATURE_FLAGS if f in tuple(feature_flags))
+    volume = jnp.asarray(np.asarray(img), jnp.float32)
+    seg_ids = jnp.asarray(seg.ravel(), jnp.int32)
+    feats, names = _texture_features_gray3d(volume, seg_ids, nb, flags,
+                                            bank_type)
+    return np.nan_to_num(np.asarray(feats)), names
+
+
+# ------------------------------------------------ filter-bank helpers ------
+
+def make_gaussian_filter1d(vals, sigma, order=0):
+    """1D (derivative-of-)Gaussian response, L1-normalised
+    (`descriptors.py:880-891`)."""
+    if order > 2:
+        raise ValueError('only orders up to 2 are supported')
+    return filter_ops._gaussian_1d(np.asarray(vals, float), sigma, order)
+
+
+def make_edge_filter2d(sig, phase, points, sup):
+    """Oriented edge/bar filter from sampled points
+    (`descriptors.py:894-900`)."""
+    return filter_ops._edge_filter_2d(sig, phase, np.asarray(points, float), sup)
+
+
+def compute_img_filter_response2d(img, filter_battery):
+    """Response of one filter battery: max over its oriented filters
+    (`descriptors.py:951-966`).  Host convenience API — the hot path is the
+    single batched convolution in
+    :func:`pyimsegm_tpu.ops.filters.filter_bank_response`.
+    """
+    from scipy import ndimage
+    battery = np.asarray(filter_battery, float)
+    if battery.ndim == 2:
+        battery = battery[None]
+    img = np.asarray(img, float)
+    resp = np.stack([ndimage.convolve(img, k) for k in battery])
+    resp = resp[0] if len(resp) == 1 else resp.max(axis=0)
+    return np.clip(resp, -filter_ops.MAX_SIGNAL_RESPONSE,
+                   filter_ops.MAX_SIGNAL_RESPONSE)
+
+
+def compute_img_filter_response3d(img, filter_battery):
+    """Battery response per z-slice of a volume (`descriptors.py:969-978`)."""
+    img = np.asarray(img, float)
+    return np.stack([compute_img_filter_response2d(img[z], filter_battery)
+                     for z in range(img.shape[0])])
+
+
+def image_subtract_gauss_smooth(img, sigma):
+    """Subtract a per-slice Gaussian background, z-slices independent
+    (`descriptors.py:981-994`)."""
+    from scipy.ndimage import gaussian_filter
+    img = np.asarray(img, float)
+    if sigma <= 0:
+        return img
+    return img - np.stack([gaussian_filter(img[z], sigma)
+                           for z in range(img.shape[0])])
+
+
+# ------------------------------------------------------- ray twins ---------
+
+def numpy_ray_features_seg2d(seg_binary, position, angle_step=5., edge='up'):
+    """Host golden ray march (`descriptors.py:1662-1712`): from ``position``
+    step along each angle until the boundary condition is met; -1 when the
+    ray exits the image.
+
+    >>> seg = np.ones((100, 150), dtype=bool)
+    >>> yy, xx = np.mgrid[:100, :150]
+    >>> seg[((yy - 50) ** 2 + (xx - 75) ** 2) <= 40 ** 2] = False
+    >>> numpy_ray_features_seg2d(seg, (50, 75), 45).astype(int)[:4]
+    array([40, 41, 40, 41])
+    """
+    seg_binary = np.asarray(seg_binary).astype(bool)
+    angles = np.arange(0, 360, angle_step)
+    ray_dist = np.full(len(angles), -1.0)
+    if seg_binary[int(position[0]), int(position[1])] and edge == 'up':
+        return ray_dist * 0
+    height, width = seg_binary.shape
+    diag = int(np.hypot(height, width))
+    for i, ang in enumerate(angles):
+        rad = np.deg2rad(ang)
+        grad = np.array([np.sin(rad), np.cos(rad)])
+        grad = grad / max(np.abs(grad))
+        pos = np.array(position, float)
+        last = seg_binary[int(position[0]), int(position[1])]
+        for _ in range(diag):
+            pos = pos + grad
+            r, c = int(round(pos[0])), int(round(pos[1]))
+            if pos[0] < 0 or r >= height or pos[1] < 0 or c >= width:
+                break
+            actual = seg_binary[r, c]
+            if (edge == 'up' and actual) or (edge == 'down' and last and not actual):
+                ray_dist[i] = np.hypot(*(pos - np.asarray(position, float)))
+                break
+            last = actual
+    return ray_dist
+
+
+def cython_ray_features_seg2d(seg_binary, position, angle_step=5., edge='up'):
+    """Device twin of :func:`numpy_ray_features_seg2d` — the vectorised
+    masked-ladder march (`features_cython.pyx:239` in the reference)."""
+    from pyimsegm_tpu.ops import ray as ray_ops
+    return np.asarray(ray_ops.compute_ray_features_segm_2d(
+        np.asarray(seg_binary), position, angle_step=angle_step,
+        smooth_coef=0, edge=edge), float)
+
+
+def compute_ray_features_segm_2d_vectors(seg_binary, position, angle_step=5.,
+                                         smooth_coef=0, edge='up'):
+    """Reference-parity alias for the (slow, rotation-based) ray variant
+    (`descriptors.py:1545-1628`): same output contract as
+    :func:`compute_ray_features_segm_2d`, computed with the direct vectorised
+    march instead of whole-image rotations."""
+    from pyimsegm_tpu.ops import ray as ray_ops
+    return np.asarray(ray_ops.compute_ray_features_segm_2d(
+        np.asarray(seg_binary), position, angle_step=angle_step,
+        smooth_coef=smooth_coef, edge=edge), float)
 
 
 # -------------------------- public re-exports for reference API parity -----

@@ -267,3 +267,36 @@ def pipe_gray3d_slic_features_model_graphcut(image, nb_classes, dict_features,
         labels, proba, k, image=image, features=features,
         gc_regul=float(gc_regul), edge_type='model')
     return np.asarray(graph_labels[labels])
+
+
+def wrapper_compute_color2d_slic_features_labels(img_annot, sp_size, sp_regul,
+                                                 dict_features,
+                                                 label_purity=0.9):
+    """Per-image (slic, features, labels) for supervised training
+    (`pipelines.py:272-290`): superpixel labels by annotation-overlap argmax,
+    impure superpixels (purity < threshold) mapped to -1.
+
+    :param img_annot: (image, annotation) pair
+    :returns: (slic ndarray, features ndarray, labels ndarray)
+    """
+    from pyimsegm_tpu import labeling
+
+    image, annot = img_annot
+    image = jnp.asarray(image)
+    annot = np.asarray(annot).astype(int)
+    feats_spec = _features_spec(dict_features)
+    m = slic_ops.compactness_from_regul(sp_size, sp_regul)
+    cfg = slic_ops.slic_config(image.shape[0], image.shape[1], sp_size)
+    labels_map, features, counts = _slic_features_core(image, cfg, feats_spec, m)
+    neg_label = annot.max() + 1 if (annot < 0).any() else None
+    if neg_label is not None:
+        annot[annot < 0] = neg_label
+    hist = labeling.histogram_regions_labels_norm(
+        np.asarray(labels_map), annot, nb_labels=annot.max() + 1)
+    lbs = np.argmax(hist, axis=1)
+    purity = np.max(hist, axis=1)
+    if neg_label is not None:
+        lbs[lbs == neg_label] = -1
+    lbs[purity < label_purity] = -1
+    lbs[np.asarray(counts) == 0] = -1
+    return (np.asarray(labels_map), np.nan_to_num(np.asarray(features)), lbs)

@@ -549,3 +549,21 @@ def convert_nifti_2_img(path_img_in, path_img_out):
                ).astype(np.uint8)
     io_imsave(path_img_out, img)
     return path_img_out
+
+
+def io_image_decorate(func):
+    """Decorator suppressing noisy PIL debug logging / decompression warnings
+    around an image IO call (`data_io.py:295-316`)."""
+    import functools
+    import logging
+
+    @functools.wraps(func)
+    def wrap(*args, **kwargs):
+        log_level = logging.getLogger().getEffectiveLevel()
+        logging.getLogger().setLevel(logging.INFO)
+        with warnings.catch_warnings():
+            warnings.simplefilter('ignore')
+            response = func(*args, **kwargs)
+        logging.getLogger().setLevel(log_level)
+        return response
+    return wrap

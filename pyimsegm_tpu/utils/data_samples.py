@@ -90,3 +90,10 @@ def sample_color_image_rand_segment(im_size=(150, 100), nb_classes=3,
         img[:, x0:x1] = means[c]
     img += rng.normal(scale=0.05, size=img.shape).astype(np.float32)
     return np.clip(img, 0, 1), seg
+
+
+def get_image_path(name_img, path_base=PATH_DATA_IMAGES):
+    """Anchor a sample image name to the bundled data folder
+    (`data_samples.py:154-168`)."""
+    return name_img if os.path.isabs(name_img) \
+        else os.path.join(path_base, name_img)

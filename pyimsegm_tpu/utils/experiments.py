@@ -234,3 +234,17 @@ class StageTimer:
         lines = ['%-20s %8.1f ms (%4.1f%%)' % (k, v * 1e3, 100 * v / total)
                  for k, v in sorted(self.stages.items(), key=lambda kv: -kv[1])]
         return '\n'.join(lines + ['%-20s %8.1f ms' % ('TOTAL', total * 1e3)])
+
+
+def is_iterable(var):
+    """True for list/tuple/ndarray-like (not strings)
+    (`experiments.py:260-273`).
+
+    >>> is_iterable('abc')
+    False
+    >>> is_iterable([0])
+    True
+    >>> is_iterable((1, ))
+    True
+    """
+    return hasattr(var, '__iter__') and not isinstance(var, (str, bytes))

@@ -279,3 +279,40 @@ def load_image(path_img):
     ole = CompoundFile(path_img)
     nb = get_layer_count('', ole=ole)
     return np.array([zvi_read('', i, ole=ole).Image.Array for i in range(nb)])
+
+
+# -------------------------- low-level parity helpers (`read_zvi.py:42-94`) --
+
+def i32(data):
+    """int32 from the first 4 bytes (two little-endian int16 halves)."""
+    low, high = struct.unpack('<hh', data[:4])
+    return (high << 16) + low
+
+
+def get_hex(data, n=16):
+    """Hex dump of the first ``n`` bytes, '|'-separated."""
+    return '|'.join('%02x' % b for b in bytes(data[:n]))
+
+
+def read_struct(data, t):
+    """Read one VARIANT-tagged field of type ``t`` from ``data``; returns
+    (value, remaining bytes).  Types: '?'/'EMPTY'/'NULL' (skip), 'I2', 'I4',
+    'BLOB', 'BSTR'."""
+    next_data = data[2:]   # skip the 16-bit VARIANT type tag
+    if t in ('?', 'EMPTY', 'NULL'):
+        return None, next_data
+    if t == 'I2':
+        (v,) = struct.unpack_from('<h', next_data, 0)
+        return v, next_data[2:]
+    if t == 'I4':
+        (v,) = struct.unpack_from('<i', next_data, 0)
+        return v, next_data[4:]
+    if t == 'BLOB':
+        (size,) = struct.unpack_from('<i', next_data, 0)
+        return next_data[4:4 + size], next_data[4 + size:]
+    if t == 'BSTR':
+        (size,) = struct.unpack_from('<i', next_data, 0)
+        if size > 0:
+            return next_data[4:4 + size], next_data[4 + size + 4:]
+        return b'', next_data[4 + 4:]
+    raise ValueError('unsupported VARIANT type: %r' % t)
