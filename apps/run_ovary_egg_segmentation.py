@@ -220,6 +220,44 @@ def segment_watershed(seg, centres, post_morph=False):
     return segm_obj
 
 
+def simplify_segm_3cls(seg, lut=(0., 0.8, 1.), smooth=True):
+    """Collapse a multi-class segmentation into 3 intensity levels with
+    hole-filling (`run_ovary_egg-segmentation.py:642-658`)."""
+    from scipy import ndimage
+    seg = np.asarray(seg)
+    segm = seg.copy()
+    segm[seg > 1] = 2
+    if np.sum(seg > 0) > 0:
+        filled = ndimage.binary_fill_holes(seg > 0)
+        segm[np.logical_and(seg == 0, filled)] = 2
+    segm = np.array(lut)[segm]
+    if smooth:
+        segm = ndimage.gaussian_filter(segm, 5)
+    return segm
+
+
+def segment_morphsnakes(img, centres, init_center=True, smoothing=5,
+                        lambdas=(3, 3), bb_dist=15, max_iter=300):
+    """Multi-object morphological ACWE on device
+    (`run_ovary_egg-segmentation.py:335-361`): circle init at the centres,
+    joint level-set evolution for ~diag/2 steps."""
+    from pyimsegm_tpu.ops import snakes
+    img = np.asarray(img, float)
+    if img.ndim == 3:
+        img = img[:, :, 0]
+    if init_center:
+        masks = snakes.circle_masks(img.shape, centres, radius=15)
+    else:
+        box = np.zeros(img.shape, np.float32)
+        box[bb_dist:-bb_dist, bb_dist:-bb_dist] = 1
+        masks = box[None]
+    n_iter = min(int(np.hypot(*img.shape) / 2.0), max_iter)
+    labels = snakes.morph_acwe_multi(img, masks, n_iter=n_iter,
+                                     smoothing=smoothing,
+                                     lambda1=lambdas[0], lambda2=lambdas[1])
+    return np.asarray(labels)
+
+
 def create_dict_segmentation(params, slic, segm, img, centers):
     """Method name -> (function, args) registry
     (`run_ovary_egg-segmentation.py:661-724`)."""
@@ -275,6 +313,10 @@ def create_dict_segmentation(params, slic, segm, img, centers):
         'RG2SP_GC-mixture': (segment_rg2sp_graphcut, params_rg(p_mix)),
         'watershed': (segment_watershed, (segm, centers)),
         'watershed_morph': (segment_watershed, (segm, centers, True)),
+        'morph-snakes_seg': (segment_morphsnakes,
+                             (simplify_segm_3cls(segm) if segm is not None
+                              else None, centers, True, 3, (2, 1))),
+        'morph-snakes_img': (segment_morphsnakes, (img, centers)),
     }
     if params.get('methods'):
         sel = [n.lower() for n in params['methods']]
