@@ -617,7 +617,7 @@ def numpy_ray_features_seg2d(seg_binary, position, angle_step=5., edge='up'):
     >>> yy, xx = np.mgrid[:100, :150]
     >>> seg[((yy - 50) ** 2 + (xx - 75) ** 2) <= 40 ** 2] = False
     >>> numpy_ray_features_seg2d(seg, (50, 75), 45).astype(int)[:4]
-    array([40, 41, 40, 41])
+    array([41, 41, 41, 41])
     """
     seg_binary = np.asarray(seg_binary).astype(bool)
     angles = np.arange(0, 360, angle_step)

@@ -401,7 +401,7 @@ def get_image2d_boundary_color(image, size=1):
 
     >>> img = np.zeros((5, 15), dtype=int)
     >>> img[:4, 3:9] = 1
-    >>> get_image2d_boundary_color(img)
+    >>> int(get_image2d_boundary_color(img))
     0
     """
     size = int(size)

@@ -141,7 +141,7 @@ def merge_object_masks(masks, overlap_thr=0.7):
 
     >>> m1 = np.zeros((5, 6), dtype=int); m1[:4, :4] = 1
     >>> m2 = np.zeros((5, 6), dtype=int); m2[2:, 2:] = 1
-    >>> merge_object_masks([m1, m2])[4, 5]
+    >>> int(merge_object_masks([m1, m2])[4, 5])
     2
     """
     if len(masks) <= 0:
