@@ -70,6 +70,10 @@ def grid_segment_sum(data, labels, cfg: SlicConfig):
     :param cfg: the SLIC geometry that produced ``labels``
     :returns: (K, F) sums
     """
+    from pyimsegm_tpu.ops.slic import _pallas_available
+    if _pallas_available():
+        from pyimsegm_tpu.ops.grid_pallas import grid_reduce_pallas
+        return grid_reduce_pallas(data, labels, cfg)
     f = data.shape[-1]
     gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
     data_p = _pad_to_grid(data, cfg)
@@ -84,16 +88,19 @@ def grid_segment_sum(data, labels, cfg: SlicConfig):
     dx = lx - tile_x + 1
     valid = (labels_p >= 0) & (dy >= 0) & (dy < 3) & (dx >= 0) & (dx < 3)
     off = jnp.where(valid, dy * 3 + dx, 0)
-    onehot = jax.nn.one_hot(off, 9, dtype=data_p.dtype) \
-        * valid[..., None].astype(data_p.dtype)
+    # bf16 one-hot (exact 0/1): halves the dominant HBM traffic of the
+    # materialised routing tensor and feeds the MXU natively
+    onehot = jax.nn.one_hot(off, 9, dtype=jnp.bfloat16) \
+        * valid[..., None].astype(jnp.bfloat16)
 
     # per-tile (step*step, 9)^T @ (step*step, F) matmuls on the MXU
     d_t = data_p.reshape(gh, step, gw, step, f).transpose(0, 2, 1, 3, 4) \
         .reshape(gh * gw, step * step, f)
     o_t = onehot.reshape(gh, step, gw, step, 9).transpose(0, 2, 1, 3, 4) \
         .reshape(gh * gw, step * step, 9)
-    out9 = jnp.einsum('tpo,tpf->tof', o_t, d_t,
-                      preferred_element_type=jnp.float32)
+    out9 = jnp.einsum('tpo,tpf->tof', o_t.astype(data_p.dtype), d_t,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     out9 = out9.reshape(gh, gw, 9, f)
 
     out = jnp.zeros((gh, gw, f), jnp.float32)
@@ -117,6 +124,11 @@ def grid_lookup(table, labels, cfg: SlicConfig):
     if squeeze:
         table = table[:, None]
     c = table.shape[-1]
+    from pyimsegm_tpu.ops.slic import _pallas_available
+    if _pallas_available():
+        from pyimsegm_tpu.ops.grid_pallas import grid_lookup_pallas
+        out = grid_lookup_pallas(table, labels, cfg).astype(table.dtype)
+        return out[..., 0] if squeeze else out
     gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
     tgrid = table.reshape(gh, gw, c).astype(jnp.float32)
     # (gh, gw, 9, C): value of each 3x3 neighbour seed per tile
@@ -135,7 +147,8 @@ def grid_lookup(table, labels, cfg: SlicConfig):
     o_t = onehot.reshape(gh, step, gw, step, 9).transpose(0, 2, 1, 3, 4) \
         .reshape(gh * gw, step * step, 9)
     out = jnp.einsum('tpo,toc->tpc', o_t, t9.reshape(gh * gw, 9, c),
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     out = out.reshape(gh, gw, step, step, c).transpose(0, 2, 1, 3, 4) \
         .reshape(hp, wp, c)[:cfg.height, :cfg.width]
     out = out.astype(table.dtype)
@@ -208,9 +221,14 @@ def grid_adjacency(labels, cfg: SlicConfig):
             .reshape(gh, gw, 9, 25)
 
     # horizontal pairs: b = right neighbor ; vertical pairs: b = lower
-    b_h = jnp.concatenate([labels_p[:, 1:], jnp.full((hp, 1), -2, labels_p.dtype)], 1)
-    b_v = jnp.concatenate([labels_p[1:, :], jnp.full((1, wp), -2, labels_p.dtype)], 0)
-    cnt9 = pair_counts(b_h) + pair_counts(b_v)
+    from pyimsegm_tpu.ops.slic import _pallas_available
+    if _pallas_available():
+        from pyimsegm_tpu.ops.grid_pallas import grid_adjacency_presence_pallas
+        cnt9 = grid_adjacency_presence_pallas(labels, cfg)
+    else:
+        b_h = jnp.concatenate([labels_p[:, 1:], jnp.full((hp, 1), -2, labels_p.dtype)], 1)
+        b_v = jnp.concatenate([labels_p[1:, :], jnp.full((1, wp), -2, labels_p.dtype)], 0)
+        cnt9 = pair_counts(b_h) + pair_counts(b_v)
     adj = jnp.zeros((gh, gw, 25), jnp.float32)
     for idx, (di, dj) in enumerate(_OFFSETS):
         adj = adj + _shift2d(cnt9[:, :, idx], di, dj)

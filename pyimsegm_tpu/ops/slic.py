@@ -188,20 +188,19 @@ def _prepare_padded(image, cfg: SlicConfig):
 def _slic_segment_pallas(image, cfg: SlicConfig, compactness,
                          n_iter=DEFAULT_SLIC_ITERS):
     from pyimsegm_tpu.ops.slic_pallas import (
-        combine_partials, slic_iteration_pallas)
-    lab_p, valid, centers0 = _prepare_padded(image, cfg)
+        combine_partials, slic_assign_pallas, slic_update_pallas)
+    lab_p, _valid, centers0 = _prepare_padded(image, cfg)
     # bf16 pixel buffer: halves the dominant per-iteration HBM read; the
     # kernel computes distances in f32 (cast after load)
     lab_chw = jnp.transpose(lab_p, (2, 0, 1)).astype(jnp.bfloat16)
     sw2 = (jnp.asarray(compactness, jnp.float32) / cfg.step) ** 2
 
     def body(_, centers):
-        _labels, partials = slic_iteration_pallas(lab_chw, valid, centers,
-                                                  sw2, cfg)
+        partials = slic_update_pallas(lab_chw, centers, sw2, cfg)
         return combine_partials(partials, centers)
 
     centers = jax.lax.fori_loop(0, n_iter, body, centers0)
-    labels, _ = slic_iteration_pallas(lab_chw, valid, centers, sw2, cfg)
+    labels = slic_assign_pallas(lab_chw, centers, sw2, cfg)
     return labels[:cfg.height, :cfg.width]
 
 
