@@ -190,7 +190,7 @@ def solve_mrf(unary, edges, weights, pairwise, n_mf_iters=30, n_icm_iters=12,
 
 def segment_graph_cut_general(labels, proba, num_segments, image=None,
                               features=None, gc_regul=1.0, edge_type='model',
-                              edge_cost=1.0, grid_ctx=None):
+                              edge_cost=1.0, grid_ctx=None, centers=None):
     """End-to-end MRF stage matching `graph_cuts.py:660-747`.
 
     :param labels: (H, W) superpixel map (device array)
@@ -219,7 +219,8 @@ def segment_graph_cut_general(labels, proba, num_segments, image=None,
             mean_color = csum[:, :-1] / jnp.maximum(csum[:, -1:], 1.0)
         wgrid = grid_ops.grid_edge_weights(
             labels2d, cfg, proba=proba, features=features,
-            mean_color=mean_color, edge_type=edge_type) * edge_cost
+            mean_color=mean_color, edge_type=edge_type,
+            centers=centers) * edge_cost
         return grid_ops.solve_mrf_grid(unary, wgrid,
                                        jnp.asarray(pairwise, jnp.float32), cfg)
     edges, weights, valid = compute_edge_weights(

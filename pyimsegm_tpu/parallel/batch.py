@@ -34,6 +34,7 @@ def make_mesh(n_devices=None, axis_name='batch'):
 def _segment_one(image, model, *, cfg, feats_spec, gc_regul, gc_edge_type,
                  compactness):
     from pyimsegm_tpu.ops.grid import grid_lookup
+    from pyimsegm_tpu.pipelines import _grid_geometry
     labels = slic_ops.slic_segment(image, cfg, compactness)
     seg_ids = labels.ravel()
     k = cfg.n_segments
@@ -41,11 +42,16 @@ def _segment_one(image, model, *, cfg, feats_spec, gc_regul, gc_edge_type,
         jnp.asarray(image, jnp.float32), seg_ids, k, dict(feats_spec),
         grid_ctx=(labels, cfg))
     proba = model.predict_proba(features)
+    _counts, centers = _grid_geometry(labels, cfg)
     graph_labels = graphcut.segment_graph_cut_general(
         labels, proba, k, image=jnp.asarray(image, jnp.float32),
         features=features, gc_regul=gc_regul, edge_type=gc_edge_type,
-        grid_ctx=(labels, cfg))
-    return grid_lookup(graph_labels, labels, cfg), grid_lookup(proba, labels, cfg)
+        grid_ctx=(labels, cfg), centers=centers)
+    # one fused upsample for the hard labels + soft proba map
+    table = jnp.concatenate(
+        [graph_labels[:, None].astype(jnp.float32), proba], axis=-1)
+    up = grid_lookup(table, labels, cfg)
+    return up[..., 0].astype(jnp.int32), up[..., 1:]
 
 
 @functools.partial(jax.jit,

@@ -42,15 +42,28 @@ def _features_spec(dict_features):
     static_argnames=('cfg', 'feats_spec', 'slico', 'n_iter'))
 def _slic_features_core(image, cfg, feats_spec, compactness,
                         slico=False, n_iter=slic_ops.DEFAULT_SLIC_ITERS):
-    from pyimsegm_tpu.ops.grid import grid_segment_count
     labels = slic_ops.slic_segment(image, cfg, compactness, n_iter=n_iter, slico=slico)
     seg_ids = labels.ravel()
     k = cfg.n_segments
-    counts = grid_segment_count(labels, cfg)
+    counts, _centers = _grid_geometry(labels, cfg)
     features, _ = descriptors.compute_selected_features_img2d(
         jnp.asarray(image, jnp.float32), seg_ids, k, dict(feats_spec),
         grid_ctx=(labels, cfg))
     return labels, features, counts
+
+
+def _grid_geometry(labels, cfg):
+    """One fused reduce for per-superpixel pixel counts and centres."""
+    from pyimsegm_tpu.ops.grid import grid_segment_sum
+    h, w = labels.shape
+    coords = jnp.stack(
+        [jnp.ones((h, w), jnp.float32),
+         jax.lax.broadcasted_iota(jnp.float32, (h, w), 0),
+         jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)], axis=-1)
+    sums = grid_segment_sum(coords, labels, cfg)
+    counts = sums[:, 0]
+    centers = sums[:, 1:] / jnp.maximum(counts[:, None], 1.0)
+    return counts, centers
 
 
 @functools.partial(
