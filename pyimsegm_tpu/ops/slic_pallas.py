@@ -8,12 +8,23 @@ the update partial-reduction into one pass over the pixels:
 * grid = one program per tile row; each program holds its row of pixels
   (``3 x step x wp`` Lab block, channel-first so pixels sit on the natural
   sublane x lane tiles) and the three relevant center rows in VMEM;
-* candidate-center fields are broadcast in-register with one small MXU
-  matmul per offset (``centers (5, gw) @ selector (gw, wp)``) — the selector
-  is a static 0/1 matrix built from iotas, so there are no transposes and no
-  HBM intermediates;
-* per-offset partial sums (Lab, y, x, count) are pooled per tile column with
-  the mirrored selector matmul instead of a scatter.
+* the squared SLIC distance is evaluated in dot-product form
+  ``argmin_c |p - c|^2  ==  argmax_c (p . c - |c|^2 / 2)`` on spatially
+  pre-scaled 6-vectors ``p = (l, a, b, s*y, s*x, 1)`` /
+  ``c = (l, a, b, s*y, s*x, |c|^2/2)`` — 10 VPU ops per candidate instead
+  of the ~15 of the explicit difference form;
+* all nine candidate-center fields are broadcast in-register with ONE MXU
+  matmul (``stacked centers (72, gw) @ selector (gw, wp)``) — the selector
+  is a static 0/1 matrix built from iotas, so there are no transposes and
+  no HBM intermediates.  The matmuls run at ``Precision.HIGHEST``: the
+  default TPU matmul precision rounds multiplicands to bf16, which perturbs
+  the |c|^2/2 row (and the pooled coordinate sums) by more than real
+  inter-candidate distance gaps — measured as whole superpixels flipping
+  and ~px of center jitter.  Full-f32 passes on these tiny matmuls cost
+  well under the kernel's VPU time;
+* per-offset partial sums (Lab, y, x, count) are pooled per tile column
+  with one mirrored selector matmul (``(54, wp) @ (wp, gw)``) instead of
+  a scatter.
 
 HBM traffic is pared to the bone: the pixel buffer is bf16 (6 B/px), the
 validity mask is recomputed from iotas instead of loaded, and labels are
@@ -34,17 +45,20 @@ from jax.experimental.pallas import tpu as pltpu
 from pyimsegm_tpu.ops.slic import SlicConfig
 
 _BIG = 1e10
+#: sentinel half-|c|^2 for out-of-grid candidates: score = 0 - _SENT, never wins
+_SENT = 1e30
 _OFFSETS = [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)]
 
 
-def _slic_pass_kernel(lab_ref, centers_ref, spatial_ref, out_ref, *,
+def _slic_pass_kernel(lab_ref, c6_ref, scale_ref, out_ref, *,
                       cfg: SlicConfig, want_labels: bool):
     """One SLIC pass for one tile row.
 
     lab_ref:      (3, 1, step, wp)  Lab pixels of this tile row
-    centers_ref:  (gh+2, 5, gw)    all centers ([l,a,b,y,x]), 1 sentinel row
-                                   of padding on each side
-    spatial_ref:  (1, 1)           (m/step)^2 in SMEM
+    c6_ref:       (gh+2, 6, gw)    all centers as score 6-vectors
+                                   [l, a, b, s*y, s*x, |c|^2/2], 1 sentinel
+                                   row of padding on each side
+    scale_ref:    (1, 1)           s = m/step spatial scale in SMEM
     out_ref:      want_labels: (1, step, wp) winning superpixel id
                   else:        (1, 54, gw)   9 offsets x [3 Lab, y, x, count]
     """
@@ -57,13 +71,15 @@ def _slic_pass_kernel(lab_ref, centers_ref, spatial_ref, out_ref, *,
     l0 = lab_ref[0, 0].astype(jnp.float32)
     l1 = lab_ref[1, 0].astype(jnp.float32)
     l2 = lab_ref[2, 0].astype(jnp.float32)               # (step, wp)
-    sw = spatial_ref[0, 0]
+    s = scale_ref[0, 0]
 
     # mosaic iota must be integer; cast after
     iy = jax.lax.broadcasted_iota(jnp.int32, (step, wp), 0) + i * step
     ix = jax.lax.broadcasted_iota(jnp.int32, (step, wp), 1)
     py = iy.astype(jnp.float32)
     px = ix.astype(jnp.float32)
+    sy = py * s
+    sx = px * s
     # validity recomputed from iotas — no mask plane in HBM
     valid = ((iy < cfg.height) & (ix < cfg.width)).astype(jnp.float32)
     lane_tile = ix // step
@@ -73,61 +89,92 @@ def _slic_pass_kernel(lab_ref, centers_ref, spatial_ref, out_ref, *,
     l_of_col = jax.lax.broadcasted_iota(jnp.int32, (gw, wp), 1) // step
     sel_field = (g_of_row == l_of_col).astype(jnp.float32)     # (gw, wp)
 
-    crows = centers_ref[pl.ds(i, 3)]                     # (3, 5, gw)
+    crows = c6_ref[pl.ds(i, 3)]                          # (3, 6, gw)
 
-    best_d = jnp.full((step, wp), _BIG, jnp.float32)
+    # stack all 9 candidate rows (column-shifted per dj; sentinel columns
+    # only carry the huge half-|c|^2 term so their score is -_SENT)
+    sent_col = jnp.concatenate(
+        [jnp.zeros((5, 1), jnp.float32),
+         jnp.full((1, 1), _SENT, jnp.float32)], axis=0)  # (6, 1)
+    pad2 = jnp.zeros((2, gw), jnp.float32)
+    rows = []
+    for di, dj in _OFFSETS:
+        row = crows[di + 1]                              # (6, gw)
+        if dj == -1:
+            row = jnp.concatenate([sent_col, row[:, :-1]], axis=1)
+        elif dj == 1:
+            row = jnp.concatenate([row[:, 1:], sent_col], axis=1)
+        # pad every offset block to 8 sublanes so the per-offset slices of
+        # the matmul result stay on sublane-tile boundaries
+        rows.append(jnp.concatenate([row, pad2], axis=0))
+    stacked = jnp.concatenate(rows, axis=0)              # (72, gw)
+    fields = jax.lax.dot(stacked, sel_field,
+                         precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)  # (72, wp)
+
+    best_s = jnp.full((step, wp), -jnp.inf, jnp.float32)
     best_o = jnp.zeros((step, wp), jnp.int32)
+    if want_labels:
+        best_l = jnp.zeros((step, wp), jnp.int32)
 
     for oi, (di, dj) in enumerate(_OFFSETS):
-        row = crows[di + 1]                              # (5, gw)
-        if dj == -1:
-            row = jnp.concatenate(
-                [jnp.full((5, 1), _BIG, row.dtype), row[:, :-1]], axis=1)
-        elif dj == 1:
-            row = jnp.concatenate(
-                [row[:, 1:], jnp.full((5, 1), _BIG, row.dtype)], axis=1)
-        field = jnp.dot(row, sel_field,
-                        preferred_element_type=jnp.float32)    # (5, wp)
-        dc2 = ((l0 - field[0:1, :]) ** 2 + (l1 - field[1:2, :]) ** 2
-               + (l2 - field[2:3, :]) ** 2)
-        ds2 = (py - field[3:4, :]) ** 2 + (px - field[4:5, :]) ** 2
-        d = dc2 + ds2 * sw
-        take = d < best_d
-        best_d = jnp.where(take, d, best_d)
-        best_o = jnp.where(take, oi, best_o)
+        f = fields[8 * oi:8 * oi + 8]                    # (8, wp)
+        score = (l0 * f[0:1, :] + l1 * f[1:2, :] + l2 * f[2:3, :]
+                 + sy * f[3:4, :] + sx * f[4:5, :] - f[5:6, :])
+        take = score > best_s
+        best_s = jnp.where(take, score, best_s)
+        if want_labels:
+            cand = (i + di) * gw + dj + lane_tile
+            best_l = jnp.where(take, cand, best_l)
+        else:
+            best_o = jnp.where(take, oi, best_o)
 
     if want_labels:
-        label = jnp.zeros((step, wp), jnp.int32)
-        for oi, (di, dj) in enumerate(_OFFSETS):
-            label = jnp.where(best_o == oi, (i + di) * gw + lane_tile + dj,
-                              label)
-        out_ref[0] = label
+        out_ref[0] = best_l
         return
+
+    rows54 = []
+    for oi in range(9):
+        w = jnp.where(best_o == oi, valid, 0.0)
+        rows54 += [
+            jnp.sum(l0 * w, axis=0, keepdims=True),
+            jnp.sum(l1 * w, axis=0, keepdims=True),
+            jnp.sum(l2 * w, axis=0, keepdims=True),
+            jnp.sum(py * w, axis=0, keepdims=True),
+            jnp.sum(px * w, axis=0, keepdims=True),
+            jnp.sum(w, axis=0, keepdims=True),
+        ]
+    data54 = jnp.concatenate(rows54, axis=0)             # (54, wp)
 
     l_of_row = jax.lax.broadcasted_iota(jnp.int32, (wp, gw), 0) // step
     g_of_col = jax.lax.broadcasted_iota(jnp.int32, (wp, gw), 1)
     sel_pool = (l_of_row == g_of_col).astype(jnp.float32)      # (wp, gw)
-    for oi in range(9):
-        mask = jnp.where(best_o == oi, valid, 0.0)
-        data6 = jnp.concatenate(
-            [jnp.sum(l0 * mask, axis=0, keepdims=True),
-             jnp.sum(l1 * mask, axis=0, keepdims=True),
-             jnp.sum(l2 * mask, axis=0, keepdims=True),
-             jnp.sum(py * mask, axis=0, keepdims=True),
-             jnp.sum(px * mask, axis=0, keepdims=True),
-             jnp.sum(mask, axis=0, keepdims=True)], axis=0)    # (6, wp)
-        part = jnp.dot(data6, sel_pool,
-                       preferred_element_type=jnp.float32)     # (6, gw)
-        out_ref[0, oi * 6:(oi + 1) * 6, :] = part
+    # full-f32 matmul passes: default TPU precision would round the pooled
+    # coordinate sums (magnitude ~1e5) by more than a pixel
+    out_ref[0] = jax.lax.dot(data54, sel_pool,
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)  # (54, gw)
+
+
+def _centers_to_score6(centers, s, gw):
+    """(gh, gw, 5) centers -> sentinel-padded (gh+2, 6, gw) score 6-vectors."""
+    cl, ca, cb = centers[..., 0], centers[..., 1], centers[..., 2]
+    sy = centers[..., 3] * s
+    sx = centers[..., 4] * s
+    half = 0.5 * (cl * cl + ca * ca + cb * cb + sy * sy + sx * sx)
+    c6 = jnp.stack([cl, ca, cb, sy, sx, half], axis=1)   # (gh, 6, gw)
+    sent = jnp.concatenate(
+        [jnp.zeros((1, 5, gw), jnp.float32),
+         jnp.full((1, 1, gw), _SENT, jnp.float32)], axis=1)
+    return jnp.concatenate([sent, c6, sent], axis=0)
 
 
 def _pallas_pass(lab_chw, centers, spatial_w2, cfg: SlicConfig,
                  want_labels: bool):
     gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
-    centers_t = jnp.transpose(centers, (0, 2, 1))        # (gh, 5, gw)
-    sentinel = jnp.full((1, 5, gw), _BIG, jnp.float32)
-    centers_pad = jnp.concatenate([sentinel, centers_t, sentinel], axis=0)
-    spatial = jnp.asarray(spatial_w2, jnp.float32).reshape(1, 1)
+    s = jnp.sqrt(jnp.asarray(spatial_w2, jnp.float32))
+    centers_pad = _centers_to_score6(centers, s, gw)
+    scale = s.reshape(1, 1)
 
     if want_labels:
         out_spec = pl.BlockSpec((1, step, cfg.pad_w), lambda i: (i, 0, 0),
@@ -148,13 +195,13 @@ def _pallas_pass(lab_chw, centers, spatial_w2, cfg: SlicConfig,
             # the non-multiple tile size `step`
             pl.BlockSpec((3, 1, step, cfg.pad_w), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((gh + 2, 5, gw), lambda i: (0, 0, 0),
+            pl.BlockSpec((gh + 2, 6, gw), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=out_spec,
         out_shape=out_shape,
-    )(lab_chw.reshape(3, gh, step, cfg.pad_w), centers_pad, spatial)
+    )(lab_chw.reshape(3, gh, step, cfg.pad_w), centers_pad, scale)
 
 
 @functools.partial(jax.jit, static_argnames=('cfg',))
