@@ -79,3 +79,67 @@ def test_grid_adjacency_matches_xla(scene):
     new = _with_flag('1', lambda: np.asarray(
         grid_ops.grid_adjacency(labels, cfg)))
     assert np.array_equal(ref, new)
+
+
+def test_slic_assign_pallas_matches_bruteforce():
+    """Single assign pass vs an f64 numpy argmin over the 9 candidates.
+
+    Guards the dot-product score form in `slic_pallas` (incl. the matmul
+    precision: default TPU matmul precision rounds the |c|^2/2 row enough
+    to flip whole superpixels — see the kernel docstring)."""
+    import jax.numpy as jnp
+    from pyimsegm_tpu.ops import slic as slic_ops
+    from pyimsegm_tpu.ops import slic_pallas as sp
+
+    cfg = slic_ops.slic_config(200, 300, 25)
+    gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
+    rng = np.random.default_rng(3)
+    lab = rng.random((3, cfg.pad_h, cfg.pad_w)).astype(np.float32) * 100
+    centers = np.zeros((gh, gw, 5), np.float32)
+    centers[..., :3] = rng.random((gh, gw, 3)) * 100
+    yy, xx = np.meshgrid(np.arange(gh), np.arange(gw), indexing='ij')
+    centers[..., 3] = (yy + 0.5) * step - 0.5
+    centers[..., 4] = (xx + 0.5) * step - 0.5
+    sw = 0.28
+
+    out = np.asarray(sp.slic_assign_pallas(
+        jnp.asarray(lab, jnp.bfloat16), jnp.asarray(centers),
+        jnp.float32(sw), cfg))
+
+    labf = np.asarray(jnp.asarray(lab, jnp.bfloat16).astype(jnp.float32))
+    Y, X = np.mgrid[0:cfg.pad_h, 0:cfg.pad_w].astype(np.float64)
+    ti, tj = (Y // step).astype(int), (X // step).astype(int)
+    best = np.full(Y.shape, 1e30)
+    bo = np.zeros(Y.shape, np.int64)
+    for di, dj in sp._OFFSETS:
+        ci, cj = ti + di, tj + dj
+        ok = (ci >= 0) & (ci < gh) & (cj >= 0) & (cj < gw)
+        cis, cjs = np.clip(ci, 0, gh - 1), np.clip(cj, 0, gw - 1)
+        c = centers[cis, cjs].astype(np.float64)
+        d = ((labf[0] - c[..., 0]) ** 2 + (labf[1] - c[..., 1]) ** 2
+             + (labf[2] - c[..., 2]) ** 2
+             + sw * ((Y - c[..., 3]) ** 2 + (X - c[..., 4]) ** 2))
+        d = np.where(ok, d, 1e30)
+        take = d < best
+        best = np.where(take, d, best)
+        bo = np.where(take, cis * gw + cjs, bo)
+    # disagreements must be limited to fp near-ties (random data is the
+    # worst case; the old bf16-matmul bug sat at ~80% here)
+    assert (out == bo).mean() > 0.985
+
+
+def test_slic_pallas_matches_xla_end_to_end():
+    """Full 10-iteration SLIC: pallas vs the portable XLA path on a real
+    sample image (label agreement ~99.9% after the precision fix)."""
+    import jax.numpy as jnp
+    from pyimsegm_tpu.ops import slic as slic_ops
+    from pyimsegm_tpu.ops.slic import _slic_segment_pallas, _slic_segment_xla
+    from pyimsegm_tpu.utils import data_samples
+
+    img = np.asarray(data_samples.load_sample_image(), np.float32)
+    img = img[:300, :400]
+    cfg = slic_ops.slic_config(img.shape[0], img.shape[1], 35)
+    m = slic_ops.compactness_from_regul(35, 0.2)
+    la = np.asarray(_slic_segment_pallas(jnp.asarray(img), cfg, m))
+    lb = np.asarray(_slic_segment_xla(jnp.asarray(img), cfg, m))
+    assert (la == lb).mean() > 0.99
