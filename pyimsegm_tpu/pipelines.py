@@ -173,19 +173,46 @@ def estim_model_classes_group(list_images, nb_classes, dict_features,
 
 
 def segment_color2d_slic_features_model_graphcut(
-        image, model_pipeline: ClassModel, dict_features, sp_size=30,
+        image, model_pipeline, dict_features, sp_size=30,
         sp_regul=0.2, gc_regul=1.0, gc_edge_type='model', debug_visual=None):
     """Segment one image with a fitted model (`pipelines.py:160-241`).
+
+    ``model_pipeline`` may be an unsupervised :class:`ClassModel` (fully
+    on-device path) or any trained classifier exposing ``predict_proba`` and
+    ``classes_`` (e.g. :class:`pyimsegm_tpu.classification.Classifier`); with
+    a classifier the result is relabelled by ``classes_`` exactly as the
+    reference does (`pipelines.py:224-240`).
 
     :returns: (segm (H, W) ndarray, segm_soft (H, W, C) ndarray)
     """
     image = jnp.asarray(image)
     cfg = slic_ops.slic_config(image.shape[0], image.shape[1], sp_size)
     m = slic_ops.compactness_from_regul(sp_size, sp_regul)
-    segm, segm_soft = _segment_with_model_core(
-        image, model_pipeline, cfg=cfg, feats_spec=_features_spec(dict_features),
-        gc_regul=float(gc_regul), gc_edge_type=gc_edge_type, compactness=m)
-    return np.asarray(segm), np.asarray(segm_soft)
+    if isinstance(model_pipeline, ClassModel):
+        segm, segm_soft = _segment_with_model_core(
+            image, model_pipeline, cfg=cfg,
+            feats_spec=_features_spec(dict_features),
+            gc_regul=float(gc_regul), gc_edge_type=gc_edge_type,
+            compactness=m)
+        return np.asarray(segm), np.asarray(segm_soft)
+
+    labels, features, _counts = _slic_features_core(
+        image, cfg, _features_spec(dict_features), m)
+    proba = np.asarray(model_pipeline.predict_proba(
+        np.nan_to_num(np.asarray(features))), np.float32)
+    graph_labels = np.asarray(graphcut.segment_graph_cut_general(
+        labels, jnp.asarray(proba), cfg.n_segments,
+        image=jnp.asarray(image, jnp.float32), features=features,
+        gc_regul=float(gc_regul), edge_type=gc_edge_type,
+        grid_ctx=(labels, cfg)))
+    labels_np = np.asarray(labels)
+    classes = np.asarray(model_pipeline.classes_)
+    segm = classes[graph_labels][labels_np]
+    segm_soft = proba[labels_np]
+    if debug_visual is not None:
+        debug_visual['slic'] = labels_np
+        debug_visual['proba'] = proba
+    return segm, segm_soft
 
 
 def train_classif_color2d_slic_features(list_images, list_annots, dict_features,
