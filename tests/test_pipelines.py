@@ -75,3 +75,20 @@ def test_unsup_pipeline_on_real_ovary_image():
     # sanity vs ground-truth annotation: unsup 4-class should beat random
     annot = data_samples.load_sample_labels()
     assert adjusted_rand_score(segm, annot) > 0.15
+
+
+def test_segment_with_trained_classifier():
+    """The public segment entry must accept a trained classifier (reference
+    `pipelines.py:224-240`): predict_proba + classes_ relabelling."""
+    img, annot = _half_image(seed=5)
+    feats = {'color': ['mean', 'std']}
+    classif, _slic, _fts, _lbs = pipelines.train_classif_color2d_slic_features(
+        [img], [annot], feats, sp_size=20, sp_regul=0.2, nb_classif_search=1)
+    segm, soft = pipelines.segment_color2d_slic_features_model_graphcut(
+        img, classif, feats, sp_size=20, sp_regul=0.2, gc_regul=1.0)
+    assert segm.shape == img.shape[:2]
+    assert soft.shape[:2] == img.shape[:2]
+    assert soft.shape[2] == len(classif.classes_)
+    # predicted labels must live in the classifier's class alphabet
+    assert set(np.unique(segm)) <= set(np.asarray(classif.classes_).tolist())
+    assert adjusted_rand_score(segm, annot) > 0.5
