@@ -13,6 +13,24 @@ import os
 
 import numpy as np
 
+
+def _honor_jax_platforms_env():
+    """Make a shell-prefixed ``JAX_PLATFORMS=cpu`` actually stick.
+
+    Some host environments (e.g. the axon TPU tunnel) register their platform
+    through ``jax.config`` in sitecustomize, which silently overrides the env
+    var; re-apply it here, before any backend initialisation."""
+    plat = os.environ.get('JAX_PLATFORMS')
+    if plat:
+        try:
+            import jax
+            jax.config.update('jax_platforms', plat)
+        except Exception:  # pragma: no cover - jax missing/already initialised
+            pass
+
+
+_honor_jax_platforms_env()
+
 from pyimsegm_tpu.utils import data_io
 from pyimsegm_tpu.utils.experiments import (
     create_experiment_folder,
@@ -33,7 +51,7 @@ def add_path_arg(parser, name, default, help_text, required=False):
 
 def parse_arg_params(parser, params):
     """Parse args, validate path_* entries, merge optional YAML config
-    (the reference contract: config file < CLI args)."""
+    (the reference contract: CLI args < config file)."""
     args = vars(parser.parse_args())
     logging.info('ARG PARAMETERS: \n %r', args)
     for k in (k for k in args if 'path' in k and isinstance(args[k], str)):
@@ -46,9 +64,11 @@ def parse_arg_params(parser, params):
             continue
         if not os.path.exists(p):
             raise FileNotFoundError('missing: (%s) "%s"' % (k, p))
+    params.update({k: v for k, v in args.items() if v is not None})
+    # the reference applies the YAML config over the parsed args
+    # (`run_segm_slic_model_graphcut.py:197-199`): CLI args < config file
     if os.path.isfile(args.get('path_config') or ''):
         params.update(load_config_yaml(args['path_config']))
-    params.update({k: v for k, v in args.items() if v is not None})
     return params
 
 
@@ -93,6 +113,21 @@ def load_image_by_type(path_img, img_type='2d_rgb'):
             img = np.stack([img] * 3, axis=-1)
         image = img
     return np.asarray(image, np.float32), name
+
+
+def load_annot_2d(path_annot):
+    """Load an annotation as a dense int label map
+    (`run_segm_slic_model_graphcut.py:225-230` '2d_segm' semantics): RGB
+    annotations take channel 0, labels are relabelled to a gapless sequence.
+
+    :returns: (labels (H, W) int ndarray, name)
+    """
+    annot, name = data_io.load_image_2d(path_annot)
+    annot = np.asarray(annot)
+    if annot.ndim == 3:
+        annot = annot[:, :, 0]
+    _, dense = np.unique(annot, return_inverse=True)
+    return dense.reshape(annot.shape).astype(np.int32), name
 
 
 def list_images(path_pattern):

@@ -55,6 +55,13 @@ def stat_annot_segm(params):
         segm, _ = data_io.load_image_2d(row['path_2'])
         annot = np.asarray(annot).astype(int)
         segm = np.asarray(segm).astype(int)
+        # RGB-coded annotations: compare on the first channel
+        # (`run_segm_slic_model_graphcut.py:225-228` semantics, no relabel so
+        # the label identities still line up with the segmentation)
+        if annot.ndim == 3:
+            annot = annot[:, :, 0]
+        if segm.ndim == 3:
+            segm = segm[:, :, 0]
         keep = ~np.isin(annot, params.get('drop_labels', []))
         rows[name] = compute_classif_metrics(annot[keep], segm[keep])
         if params.get('visual'):

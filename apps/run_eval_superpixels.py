@@ -55,7 +55,7 @@ def compute_boundary_distance(params):
     for _, row in df_paths.iterrows():
         img, name = common.load_image_by_type(row['path_1'],
                                               params['img_type'])
-        annot, _ = data_io.load_image_2d(row['path_2'])
+        annot, _ = common.load_annot_2d(row['path_2'])
         slic = np.asarray(segment_slic_img2d(
             img, sp_size=params['slic_size'],
             relative_compact=params['slic_regul']))

@@ -79,15 +79,14 @@ def arg_parse_params(params):
 
 
 def load_dataset(params):
-    from pyimsegm_tpu.utils.data_io import load_image_2d
     paths_img, paths_annot = common.find_images_annots(
         params['path_images'], params['path_annots'])
     imgs, annots, names = [], [], []
     for p_img, p_annot in zip(paths_img, paths_annot):
         img, name = common.load_image_by_type(p_img, params['img_type'])
-        annot, _ = load_image_2d(p_annot)
+        annot, _ = common.load_annot_2d(p_annot)
         imgs.append(img)
-        annots.append(np.asarray(annot).astype(int))
+        annots.append(annot)
         names.append(name)
     return imgs, annots, names
 
