@@ -101,3 +101,54 @@ def test_app_create_annotation_and_cut(tiny_dataset, tmp_path):
               'path_out': str(tmp_path / 'cut'), 'padding': 2,
               'mask': False, 'no_rotate': True})
     assert len(list((tmp_path / 'cut').glob('*.png'))) >= 2
+
+
+def test_app_supervised_classif(tiny_dataset, tmp_path):
+    """Supervised CLI end-to-end, incl. RGB-coded annotations and the
+    YAML-over-CLI config merge order (reference contract)."""
+    import yaml
+
+    from apps import run_segm_slic_classif_graphcut as app
+
+    # re-save one annotation RGB-coded: loader must take channel 0
+    annot_dir = tiny_dataset / 'annot'
+    a = np.asarray(Image.open(annot_dir / 'img_0.png'))
+    Image.fromarray(np.stack([a, a * 0, a * 0], -1)).save(
+        annot_dir / 'img_0.png')
+
+    cfg = {'name': 'cfgwins', 'img_type': '2d_rgb', 'slic_size': 8,
+           'slic_regul': 0.3, 'features': {'color': ['mean', 'std']},
+           'nb_classif_search': 1, 'gc_regul': 1.0, 'run_LPO': True}
+    path_cfg = tmp_path / 'cfg.yml'
+    path_cfg.write_text(yaml.safe_dump(cfg))
+
+    import argparse
+    from apps import common
+    params = dict(app.SEGM_PARAMS)
+    parser = argparse.ArgumentParser()
+    common.add_path_arg(parser, 'path_images', str(tiny_dataset / 'image' / '*.jpg'),
+                        'imgs')
+    common.add_path_arg(parser, 'path_annots', str(tiny_dataset / 'annot' / '*.png'),
+                        'annots')
+    common.add_path_arg(parser, 'path_config', str(path_cfg), 'cfg')
+    common.add_path_arg(parser, 'path_out', str(tmp_path), 'out')
+    parser.add_argument('--slic_size', type=int, default=params['slic_size'])
+    old_argv = sys.argv
+    sys.argv = ['app']
+    try:
+        merged = common.parse_arg_params(parser, params)
+    finally:
+        sys.argv = old_argv
+    # YAML must override the CLI default (the reference merge order)
+    assert merged['slic_size'] == 8
+    assert merged['name'] == 'cfgwins'
+
+    app.main(merged)
+    out = tmp_path / 'experiment_segm-Supervised_cfgwins'
+    assert (out / 'stat_segm_graphcut.csv').exists()
+    assert (out / 'stat_LPO.csv').exists()
+    import csv
+    rows = list(csv.DictReader(open(out / 'stat_LPO.csv')))
+    assert len(rows) == 2
+    # trivial 3-band scene: held-out accuracy should be near-perfect
+    assert all(float(r['GC_accuracy']) > 0.9 for r in rows)
