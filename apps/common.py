@@ -50,8 +50,14 @@ def add_path_arg(parser, name, default, help_text, required=False):
 
 
 def parse_arg_params(parser, params):
-    """Parse args, validate path_* entries, merge optional YAML config
-    (the reference contract: CLI args < config file)."""
+    """Parse args, validate path_* entries, merge optional YAML config.
+
+    Precedence: app defaults < YAML config < explicitly-passed CLI flags.
+    The reference applies ``params.update(config)`` then
+    ``params.update(args)`` (`run_segm_slic_model_graphcut.py:197-200`) but
+    only registers CLI flags for keys absent from its configs; our apps
+    expose more flags, so an un-passed flag's argparse default must not
+    clobber the YAML value while an explicit flag still wins."""
     args = vars(parser.parse_args())
     logging.info('ARG PARAMETERS: \n %r', args)
     for k in (k for k in args if 'path' in k and isinstance(args[k], str)):
@@ -64,11 +70,14 @@ def parse_arg_params(parser, params):
             continue
         if not os.path.exists(p):
             raise FileNotFoundError('missing: (%s) "%s"' % (k, p))
+    arg_defaults = {a.dest: a.default for a in parser._actions}
+    explicit = {k: v for k, v in args.items()
+                if v is not None and ('path' in k
+                                      or arg_defaults.get(k) != v)}
     params.update({k: v for k, v in args.items() if v is not None})
-    # the reference applies the YAML config over the parsed args
-    # (`run_segm_slic_model_graphcut.py:197-199`): CLI args < config file
     if os.path.isfile(args.get('path_config') or ''):
         params.update(load_config_yaml(args['path_config']))
+    params.update(explicit)
     return params
 
 
@@ -118,7 +127,10 @@ def load_image_by_type(path_img, img_type='2d_rgb'):
 def load_annot_2d(path_annot):
     """Load an annotation as a dense int label map
     (`run_segm_slic_model_graphcut.py:225-230` '2d_segm' semantics): RGB
-    annotations take channel 0, labels are relabelled to a gapless sequence.
+    annotations take channel 0, labels are relabelled to a gapless sequence
+    with ``relabel_sequential`` rules — 0 stays background, nonzero labels
+    map to 1..n in sorted order (so a {1, 2} annotation keeps a distinct
+    background id instead of class 1 collapsing onto 0).
 
     :returns: (labels (H, W) int ndarray, name)
     """
@@ -126,8 +138,12 @@ def load_annot_2d(path_annot):
     annot = np.asarray(annot)
     if annot.ndim == 3:
         annot = annot[:, :, 0]
-    _, dense = np.unique(annot, return_inverse=True)
-    return dense.reshape(annot.shape).astype(np.int32), name
+    annot = annot.astype(np.int64)
+    uniq = np.unique(annot)
+    nonzero = uniq[uniq != 0]
+    lut = np.zeros(int(annot.max()) + 1, np.int32)
+    lut[nonzero] = np.arange(1, len(nonzero) + 1, dtype=np.int32)
+    return lut[annot], name
 
 
 def list_images(path_pattern):

@@ -93,19 +93,16 @@ def load_dataset(params):
 
 def segment_with_classifier(img, classif, params):
     """Predict one image with GC and argmax variants
-    (`run_segm_slic_classif_graphcut.py:431-525`)."""
-    slic, features = pipelines.compute_color2d_superpixels_features(
-        img, params['features'], sp_size=params['slic_size'],
-        sp_regul=params['slic_regul'])
-    proba = classif.predict_proba(features)
-    segm_argmax = np.asarray(classif.classes_)[np.argmax(proba, axis=1)][slic]
-    import jax.numpy as jnp
-    from pyimsegm_tpu.ops import graphcut
-    graph_labels = np.asarray(graphcut.segment_graph_cut_general(
-        jnp.asarray(slic), jnp.asarray(proba, jnp.float32),
-        int(slic.max()) + 1, image=img, features=jnp.asarray(features),
-        gc_regul=params['gc_regul'], edge_type=params['gc_edge_type']))
-    segm_gc = np.asarray(classif.classes_)[graph_labels][slic]
+    (`run_segm_slic_classif_graphcut.py:431-525`) through the pipeline's
+    classifier branch (grid fast path); the argmax variant reuses the
+    branch's SLIC + proba via the debug hook."""
+    dbg = {}
+    segm_gc, _soft = pipelines.segment_color2d_slic_features_model_graphcut(
+        img, classif, params['features'], sp_size=params['slic_size'],
+        sp_regul=params['slic_regul'], gc_regul=params['gc_regul'],
+        gc_edge_type=params['gc_edge_type'], debug_visual=dbg)
+    segm_argmax = np.asarray(classif.classes_)[
+        np.argmax(dbg['proba'], axis=1)][dbg['slic']]
     return segm_gc, segm_argmax
 
 

@@ -13,6 +13,9 @@ import pickle
 
 import numpy as np
 
+import sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
 from pyimsegm_tpu import region_growing as rg
 from pyimsegm_tpu.utils import data_io, data_samples
 

@@ -12,6 +12,9 @@ import os
 
 import numpy as np
 
+import sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
 from pyimsegm_tpu import pipelines
 from pyimsegm_tpu.utils import data_samples, drawing
 

@@ -26,4 +26,25 @@ Method families mirrored from the reference (see `/root/reference/imsegm/__init_
 
 __version__ = "0.1.0"
 
-from pyimsegm_tpu import pipelines  # noqa: F401
+
+def _honor_jax_platforms_env():
+    """Respect an explicitly-set ``JAX_PLATFORMS`` env var.
+
+    Some host environments register their accelerator platform through
+    ``jax.config`` in sitecustomize, which silently overrides the documented
+    env var; re-apply it (before any backend init) so
+    ``JAX_PLATFORMS=cpu python <any entry point>`` behaves as JAX documents.
+    No-op when the variable is unset or the backend is already initialised."""
+    import os
+    plat = os.environ.get('JAX_PLATFORMS')
+    if plat:
+        try:
+            import jax
+            jax.config.update('jax_platforms', plat)
+        except Exception:
+            pass
+
+
+_honor_jax_platforms_env()
+
+from pyimsegm_tpu import pipelines  # noqa: F401,E402

@@ -110,6 +110,12 @@ def test_app_supervised_classif(tiny_dataset, tmp_path):
 
     from apps import run_segm_slic_classif_graphcut as app
 
+    # private copy of the dataset (the fixture is module-scoped and other
+    # tests must keep seeing 2D annotations)
+    import shutil
+    data = tmp_path / 'data'
+    shutil.copytree(tiny_dataset, data)
+    tiny_dataset = data
     # re-save one annotation RGB-coded: loader must take channel 0
     annot_dir = tiny_dataset / 'annot'
     a = np.asarray(Image.open(annot_dir / 'img_0.png'))

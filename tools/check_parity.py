@@ -32,17 +32,30 @@ def _image_paths():
         os.path.join(DATA, 'langerhans_islets', 'image', 'Lh05-04.jpg'),
         os.path.join(DATA, 'histology_CIMA', '29-041-Izd2-w35-CD31-3-les1.jpg'),
     ]
-    return [p for p in pats if os.path.isfile(p)] or sorted(
+    paths = [p for p in pats if os.path.isfile(p)] or sorted(
         glob.glob(os.path.join(DATA, '*', 'image', '*.jpg')))[:3]
+    if not paths:
+        raise FileNotFoundError('no sample images under %r '
+                                '(set PYIMSEGM_DATA_PATH)' % DATA)
+    return paths
 
 
-def run_pipeline(out_npz, force_cpu):
+def run_pipeline(out_npz, force_cpu, allow_cpu=False):
     import jax
     if force_cpu:
         jax.config.update('jax_platforms', 'cpu')
     from PIL import Image
 
     from pyimsegm_tpu import pipelines
+
+    platform = jax.devices()[0].platform
+    if not force_cpu and platform == 'cpu' and not allow_cpu:
+        raise RuntimeError(
+            'device run resolved to the CPU backend — the check would '
+            'degenerate to CPU-vs-CPU; attach an accelerator or pass '
+            '--allow-cpu to acknowledge')
+    print('[check_parity] %s run on platform: %s'
+          % ('cpu' if force_cpu else 'device', platform), flush=True)
 
     segms = {}
     for path in _image_paths():
@@ -60,13 +73,15 @@ def main():
         run_pipeline(sys.argv[2], force_cpu=True)
         return
 
+
     from sklearn.metrics import adjusted_rand_score
 
     with tempfile.TemporaryDirectory() as td:
         tpu_npz = os.path.join(td, 'tpu.npz')
         cpu_npz = os.path.join(td, 'cpu.npz')
         # device run in-process (default backend)
-        run_pipeline(tpu_npz, force_cpu=False)
+        run_pipeline(tpu_npz, force_cpu=False,
+                     allow_cpu='--allow-cpu' in sys.argv)
         # CPU run in a fresh subprocess (backends cannot switch in-process)
         subprocess.run([sys.executable, os.path.abspath(__file__),
                         '--worker-cpu', cpu_npz], check=True)
