@@ -199,7 +199,10 @@ def _slic_segment_pallas(image, cfg: SlicConfig, compactness,
         partials = slic_update_pallas(lab_chw, centers, sw2, cfg)
         return combine_partials(partials, centers)
 
-    centers = jax.lax.fori_loop(0, n_iter, body, centers0)
+    # n_iter-1 update passes + one final assignment = skimage's n_iter
+    # assign-then-update iterations (final labels are the assignment that
+    # fed the last center update, not one extra assignment after it)
+    centers = jax.lax.fori_loop(0, max(n_iter - 1, 0), body, centers0)
     labels = slic_assign_pallas(lab_chw, centers, sw2, cfg)
     return labels[:cfg.height, :cfg.width]
 
@@ -312,7 +315,10 @@ def _slic_segment_xla(image, cfg: SlicConfig, compactness,
         return centers, max_dc2
 
     init_m = jnp.full((gh, gw), jnp.asarray(m2, jnp.float32))
-    centers, max_dc2 = jax.lax.fori_loop(0, n_iter, body, (centers0, init_m))
+    # n_iter-1 update rounds + final assignment (skimage iteration order;
+    # see the pallas path)
+    centers, max_dc2 = jax.lax.fori_loop(0, max(n_iter - 1, 0), body,
+                                         (centers0, init_m))
     labels, _, _ = assign(centers, max_dc2)
     return labels[:cfg.height, :cfg.width]
 

@@ -51,7 +51,7 @@ _OFFSETS = [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)]
 
 
 def _slic_pass_kernel(lab_ref, c6_ref, scale_ref, out_ref, *,
-                      cfg: SlicConfig, want_labels: bool):
+                      cfg: SlicConfig, want_labels, want_partials=None):
     """One SLIC pass for one tile row.
 
     lab_ref:      (3, 1, step, wp)  Lab pixels of this tile row
@@ -59,9 +59,21 @@ def _slic_pass_kernel(lab_ref, c6_ref, scale_ref, out_ref, *,
                                    [l, a, b, s*y, s*x, |c|^2/2], 1 sentinel
                                    row of padding on each side
     scale_ref:    (1, 1)           s = m/step spatial scale in SMEM
-    out_ref:      want_labels: (1, step, wp) winning superpixel id
-                  else:        (1, 54, gw)   9 offsets x [3 Lab, y, x, count]
+    out_ref:      labels (1, step, wp) winning superpixel id (want_labels),
+                  partials (1, 54, gw) 9 offsets x [3 Lab, y, x, count]
+                  (want_partials), or [labels, partials] (both — the final
+                  fused pass: labels come from the same assignment that
+                  feeds the last center update, matching skimage's
+                  assign-then-update iteration order)
     """
+    if want_partials is None:
+        want_partials = not want_labels
+    if want_labels and want_partials:
+        labels_ref, partials_ref = out_ref
+    elif want_labels:
+        labels_ref = out_ref
+    else:
+        partials_ref = out_ref
     step, gw = cfg.step, cfg.grid_w
     wp = cfg.pad_w
     i = pl.program_id(0)
@@ -126,12 +138,13 @@ def _slic_pass_kernel(lab_ref, c6_ref, scale_ref, out_ref, *,
         if want_labels:
             cand = (i + di) * gw + dj + lane_tile
             best_l = jnp.where(take, cand, best_l)
-        else:
+        if want_partials:
             best_o = jnp.where(take, oi, best_o)
 
     if want_labels:
-        out_ref[0] = best_l
-        return
+        labels_ref[0] = best_l
+        if not want_partials:
+            return
 
     rows54 = []
     for oi in range(9):
@@ -151,9 +164,9 @@ def _slic_pass_kernel(lab_ref, c6_ref, scale_ref, out_ref, *,
     sel_pool = (l_of_row == g_of_col).astype(jnp.float32)      # (wp, gw)
     # full-f32 matmul passes: default TPU precision would round the pooled
     # coordinate sums (magnitude ~1e5) by more than a pixel
-    out_ref[0] = jax.lax.dot(data54, sel_pool,
-                             precision=jax.lax.Precision.HIGHEST,
-                             preferred_element_type=jnp.float32)  # (54, gw)
+    partials_ref[0] = jax.lax.dot(data54, sel_pool,
+                                  precision=jax.lax.Precision.HIGHEST,
+                                  preferred_element_type=jnp.float32)
 
 
 def _centers_to_score6(centers, s, gw):
@@ -170,24 +183,32 @@ def _centers_to_score6(centers, s, gw):
 
 
 def _pallas_pass(lab_chw, centers, spatial_w2, cfg: SlicConfig,
-                 want_labels: bool):
+                 want_labels, want_partials=None):
     gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
+    if want_partials is None:
+        want_partials = not want_labels
     s = jnp.sqrt(jnp.asarray(spatial_w2, jnp.float32))
     centers_pad = _centers_to_score6(centers, s, gw)
     scale = s.reshape(1, 1)
 
-    if want_labels:
-        out_spec = pl.BlockSpec((1, step, cfg.pad_w), lambda i: (i, 0, 0),
-                                memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((gh, step, cfg.pad_w), jnp.int32)
+    labels_spec = pl.BlockSpec((1, step, cfg.pad_w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+    labels_shape = jax.ShapeDtypeStruct((gh, step, cfg.pad_w), jnp.int32)
+    partials_spec = pl.BlockSpec((1, 54, gw), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    partials_shape = jax.ShapeDtypeStruct((gh, 54, gw), jnp.float32)
+    if want_labels and want_partials:
+        out_spec = [labels_spec, partials_spec]
+        out_shape = [labels_shape, partials_shape]
+    elif want_labels:
+        out_spec, out_shape = labels_spec, labels_shape
     else:
-        out_spec = pl.BlockSpec((1, 54, gw), lambda i: (i, 0, 0),
-                                memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((gh, 54, gw), jnp.float32)
+        out_spec, out_shape = partials_spec, partials_shape
 
     return pl.pallas_call(
         functools.partial(_slic_pass_kernel, cfg=cfg,
-                          want_labels=want_labels),
+                          want_labels=want_labels,
+                          want_partials=want_partials),
         grid=(gh,),
         in_specs=[
             # 4D layout (3, gh, step, wp): the last two block dims equal the
@@ -202,6 +223,19 @@ def _pallas_pass(lab_chw, centers, spatial_w2, cfg: SlicConfig,
         out_specs=out_spec,
         out_shape=out_shape,
     )(lab_chw.reshape(3, gh, step, cfg.pad_w), centers_pad, scale)
+
+
+@functools.partial(jax.jit, static_argnames=('cfg',))
+def slic_update_labels_pallas(lab_chw, centers, spatial_w2, cfg: SlicConfig):
+    """Fused final pass: labels AND update partials from one assignment.
+
+    :returns: (labels (pad_h, pad_w) int32, partials (gh, gw, 9, 6))
+    """
+    labels, partials = _pallas_pass(lab_chw, centers, spatial_w2, cfg,
+                                    want_labels=True, want_partials=True)
+    partials = jnp.transpose(partials.reshape(cfg.grid_h, 9, 6, cfg.grid_w),
+                             (0, 3, 1, 2))
+    return labels.reshape(cfg.pad_h, cfg.pad_w), partials
 
 
 @functools.partial(jax.jit, static_argnames=('cfg',))
