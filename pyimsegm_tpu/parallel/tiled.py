@@ -122,7 +122,9 @@ def _slic_sharded_shard(lab_loc, valid_loc, centers0, spatial_w2,
                                          lgh, spatial_w2, axis_name)
         return centers
 
-    centers = jax.lax.fori_loop(0, n_iter, body, centers0)
+    # n_iter-1 update rounds + final assignment (skimage iteration order,
+    # matching ops/slic.py)
+    centers = jax.lax.fori_loop(0, max(n_iter - 1, 0), body, centers0)
     labels, _ = _local_slic_iter(lab_loc, valid_loc, centers, cfg, lgh,
                                  spatial_w2, axis_name)
     return labels
