@@ -14,6 +14,7 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 import glob
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -80,6 +81,13 @@ def main():
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     mpix_s = b * h * w * reps / dt / 1e6
+
+    if '--stages' in sys.argv:
+        from pyimsegm_tpu.utils.profiling import pipeline_stage_profile
+        for name, total, delta in pipeline_stage_profile(
+                images, model, cfg, spec, m, gc_regul=GC_REGUL):
+            print('# stage %-15s total %7.2f ms   delta %+7.2f ms'
+                  % (name, total * 1e3, delta * 1e3), file=sys.stderr)
 
     print(json.dumps({
         'metric': 'e2e_unsup_batched_throughput',
