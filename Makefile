@@ -1,0 +1,25 @@
+# Dev entry points (counterpart of the reference's Makefile).
+
+.PHONY: test test-tpu bench parity native clean
+
+test:
+	python -m pytest tests/ -q
+
+# kernel-parity tests on the real chip (needs the TPU tunnel live)
+test-tpu:
+	PYIMSEGM_TEST_TPU=1 python -m pytest tests/test_grid_pallas.py -q
+
+bench:
+	python bench.py
+
+# TPU-vs-CPU end-to-end ARS acceptance check (BASELINE: >= 0.98)
+parity:
+	python tools/check_parity.py
+
+native:
+	$(MAKE) -C pyimsegm_tpu/native
+
+clean:
+	rm -rf .pytest_cache
+	find . -name '__pycache__' -type d -exec rm -rf {} +
+	rm -f pyimsegm_tpu/native/*.so
