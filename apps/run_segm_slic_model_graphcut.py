@@ -91,7 +91,14 @@ def experiment_single_gmm(params, paths_img, path_out):
     for path_img in paths_img:
         img, name = common.load_image_by_type(path_img, params['img_type'])
         t0 = time.time()
-        segm, soft = segment_image_independent(img, params)
+        try:
+            segm, soft = segment_image_independent(img, params)
+        except Exception:
+            # a failed image degrades to a zero segmentation and the batch
+            # continues (`run_segm_slic_model_graphcut.py:353-370`)
+            logging.exception('segmentation failed for "%s"', name)
+            segm = np.zeros(img.shape[:2], int)
+            soft = np.zeros(img.shape[:2] + (params['nb_classes'],))
         logging.info('single-model segm "%s" in %.1fs', name, time.time() - t0)
         common.export_segm(os.path.join(path_out, 'segm_single'), name, segm,
                            soft)
@@ -120,10 +127,15 @@ def experiment_group_gmm(params, paths_img, path_out):
         pickle.dump(jax.tree_util.tree_map(np.asarray, model), fp)
     dict_segms = {}
     for img, name in zip(imgs, names):
-        segm, soft = pipelines.segment_color2d_slic_features_model_graphcut(
-            img, model, params['features'], sp_size=params['slic_size'],
-            sp_regul=params['slic_regul'], gc_regul=params['gc_regul'],
-            gc_edge_type=params['gc_edge_type'])
+        try:
+            segm, soft = pipelines.segment_color2d_slic_features_model_graphcut(
+                img, model, params['features'], sp_size=params['slic_size'],
+                sp_regul=params['slic_regul'], gc_regul=params['gc_regul'],
+                gc_edge_type=params['gc_edge_type'])
+        except Exception:
+            logging.exception('segmentation failed for "%s"', name)
+            segm = np.zeros(img.shape[:2], int)
+            soft = np.zeros(img.shape[:2] + (params['nb_classes'],))
         segm = assume_bg_on_boundary(segm, bg_label=0)
         common.export_segm(os.path.join(path_out, 'segm_group'), name, segm,
                            soft)
