@@ -43,7 +43,10 @@ class ClassModel(NamedTuple):
         if self.scaler_mean is not None:
             x = (x - self.scaler_mean) / self.scaler_scale
         if self.pca_components is not None:
-            x = (x - self.pca_mean) @ self.pca_components.T
+            # full-f32 matmul: keeps TPU and CPU projections aligned (see
+            # models/gmm.full_precision)
+            with jax.default_matmul_precision('highest'):
+                x = (x - self.pca_mean) @ self.pca_components.T
             x = x * self.pca_mask
         return x
 
@@ -62,6 +65,7 @@ def _fit_scaler(x, w):
     return mean, jnp.sqrt(jnp.maximum(var, 1e-12))
 
 
+@gmm_mod.full_precision
 def _fit_pca(x, w, pca_coef):
     n = jnp.maximum(jnp.sum(w), 1.0)
     mean = jnp.sum(x * w[:, None], axis=0) / n

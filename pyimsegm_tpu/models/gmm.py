@@ -28,6 +28,23 @@ class GMMParams(NamedTuple):
 _LOG2PI = 1.8378770664093453
 
 
+def full_precision(fn):
+    """Trace the wrapped function with full-f32 matmul passes.
+
+    The default TPU matmul precision multiplies in bf16; model fitting and
+    inference matmuls are tiny (K x D x C scale) but their rounding shifts
+    EM trajectories enough that TPU and CPU runs converge to visibly
+    different mixtures (breaking the cross-backend ARS >= 0.98 acceptance,
+    `tools/check_parity.py`).  Full precision here costs nothing at pipeline
+    level — the pixel-scale convolutions stay at default precision."""
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision('highest'):
+            return fn(*args, **kwargs)
+    return wrapped
+
+
+@full_precision
 def _chol_log_prob(x, means, covs):
     """log N(x | mu_c, Sigma_c) for all components; (N, C)."""
     def per_comp(mu, cov):
@@ -58,6 +75,7 @@ def gmm_score(params: GMMParams, x, sample_weight):
     return jnp.sum(ll * sample_weight) / jnp.maximum(jnp.sum(sample_weight), 1.0)
 
 
+@full_precision
 def _m_step(x, resp, sample_weight, reg_covar):
     w = resp * sample_weight[:, None]                        # (N, C)
     nk = jnp.sum(w, axis=0) + 1e-10                          # (C,)
@@ -75,6 +93,7 @@ def _m_step(x, resp, sample_weight, reg_covar):
 
 # ---------------------------------------------------------------- k-means ---
 
+@full_precision
 def kmeans_plus_plus_init(key, x, sample_weight, n_clusters):
     """k-means++ seeding (sequential over C via scan; C is small)."""
     n = x.shape[0]
@@ -96,6 +115,7 @@ def kmeans_plus_plus_init(key, x, sample_weight, n_clusters):
     return centers
 
 
+@full_precision
 def kmeans_fit(key, x, sample_weight, n_clusters, n_iter=50, init_centers=None):
     """Lloyd iterations; returns (centers, labels)."""
     if init_centers is None:

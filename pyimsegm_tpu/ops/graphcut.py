@@ -135,9 +135,12 @@ def mrf_energy(labels, unary, edges, weights, pairwise):
 
 def _neighbor_expectation(q, edges, weights, pairwise, num_segments):
     """For every node i: sum_{j in N(i)} w_ij * (P @ q_j)  — two segment-sums
-    over the padded edge list (invalid edges carry weight 0)."""
-    msg_to_a = (q[edges[:, 1]] @ pairwise.T) * weights[:, None]
-    msg_to_b = (q[edges[:, 0]] @ pairwise.T) * weights[:, None]
+    over the padded edge list (invalid edges carry weight 0).  Full-f32
+    matmul passes keep TPU and CPU mean-field trajectories aligned (the
+    cross-backend ARS acceptance, see models/gmm.full_precision)."""
+    with jax.default_matmul_precision('highest'):
+        msg_to_a = (q[edges[:, 1]] @ pairwise.T) * weights[:, None]
+        msg_to_b = (q[edges[:, 0]] @ pairwise.T) * weights[:, None]
     agg = jax.ops.segment_sum(msg_to_a, edges[:, 0], num_segments=num_segments)
     agg += jax.ops.segment_sum(msg_to_b, edges[:, 1], num_segments=num_segments)
     return agg

@@ -354,9 +354,12 @@ def solve_mrf_grid(unary, wgrid, pairwise, cfg: SlicConfig, n_mf_iters=30,
     pairwise = jnp.asarray(pairwise, jnp.float32)
 
     def message(q):
-        qp = q @ pairwise.T                                  # (gh,gw,C)
-        nb = _neighbor_stack(qp)                             # (gh,gw,25,C)
-        return jnp.einsum('yxd,yxdc->yxc', wgrid, nb)
+        # full-f32 passes: cross-backend trajectory alignment (see
+        # models/gmm.full_precision)
+        with jax.default_matmul_precision('highest'):
+            qp = q @ pairwise.T                              # (gh,gw,C)
+            nb = _neighbor_stack(qp)                         # (gh,gw,25,C)
+            return jnp.einsum('yxd,yxdc->yxc', wgrid, nb)
 
     q0 = jax.nn.softmax(-ug, axis=-1)
 

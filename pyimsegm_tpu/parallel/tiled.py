@@ -154,7 +154,11 @@ def slic_segment_sharded(image, sp_size, sp_regul, mesh=None, n_iter=10,
     # replicated preprocessing (cheap); pixels then shard by rows
     lab = _prepare_image(image)
     ph, pw = cfg.pad_h - cfg.height, cfg.pad_w - cfg.width
+    # same bf16 pixel quantisation as ops/slic.py (pixels only, not the
+    # initial center colors), so sharded and single-device paths assign
+    # from identical values
     lab_p = jnp.pad(lab, [(0, ph), (0, pw), (0, 0)], mode='edge')
+    lab_p = lab_p.astype(jnp.bfloat16).astype(jnp.float32)
     valid = jnp.pad(jnp.ones((cfg.height, cfg.width), jnp.float32),
                     [(0, ph), (0, pw)])
     gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step

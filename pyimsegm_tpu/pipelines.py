@@ -145,6 +145,7 @@ def pipe_color2d_slic_features_model_graphcut(
         debug_visual['slic'] = np.asarray(labels)
         debug_visual['features'] = np.asarray(features)
         debug_visual['proba'] = np.asarray(proba)
+        debug_visual['model'] = _model
     return np.asarray(segm), np.asarray(segm_soft)
 
 
