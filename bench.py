@@ -61,7 +61,7 @@ def main():
     # group model: SLIC+features per image, one GMM over the pool
     feats, masks = [], []
     for i in range(b):
-        _lb, f, c = _slic_features_core(images[i], cfg, spec, m)
+        _lb, f, c, _cent = _slic_features_core(images[i], cfg, spec, m)
         feats.append(f)
         masks.append((c > 0).astype(jnp.float32))
     model = estim_class_model(jnp.nan_to_num(jnp.concatenate(feats)), NB_CLASSES,

@@ -210,6 +210,62 @@ def _slic_segment_pallas(image, cfg: SlicConfig, compactness,
     return labels[:cfg.height, :cfg.width]
 
 
+def slic_segment_with_geometry(image, cfg: SlicConfig, compactness,
+                               n_iter=DEFAULT_SLIC_ITERS):
+    """SLIC labels plus per-superpixel pixel counts and (y, x) centres.
+
+    On TPU the counts/centres fall out of the final fused assign+update
+    kernel pass for free (the same sums the center update pools), replacing
+    a separate pixel-scale geometry reduction; off TPU they are computed by
+    a grid segment-sum over the labels.
+
+    :returns: (labels (H, W) int32, counts (K,) f32, centers (K, 2) f32)
+    """
+    if _pallas_available():
+        return _slic_segment_geom_pallas(image, cfg, compactness,
+                                         n_iter=n_iter)
+    labels = _slic_segment_xla(image, cfg, compactness, n_iter=n_iter)
+    counts, centers = _labels_geometry(labels, cfg)
+    return labels, counts, centers
+
+
+def _labels_geometry(labels, cfg: SlicConfig):
+    """Counts + centres by one fused grid reduce over the label map."""
+    from pyimsegm_tpu.ops.grid import grid_segment_sum
+    h, w = labels.shape
+    coords = jnp.stack(
+        [jnp.ones((h, w), jnp.float32),
+         jax.lax.broadcasted_iota(jnp.float32, (h, w), 0),
+         jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)], axis=-1)
+    sums = grid_segment_sum(coords, labels, cfg)
+    counts = sums[:, 0]
+    centers = sums[:, 1:] / jnp.maximum(counts[:, None], 1.0)
+    return counts, centers
+
+
+@functools.partial(jax.jit, static_argnames=('cfg', 'n_iter'))
+def _slic_segment_geom_pallas(image, cfg: SlicConfig, compactness,
+                              n_iter=DEFAULT_SLIC_ITERS):
+    from pyimsegm_tpu.ops.slic_pallas import (
+        combine_partials, combine_sums, slic_update_labels_pallas,
+        slic_update_pallas)
+    lab_p, _valid, centers0 = _prepare_padded(image, cfg)
+    lab_chw = jnp.transpose(lab_p, (2, 0, 1)).astype(jnp.bfloat16)
+    sw2 = (jnp.asarray(compactness, jnp.float32) / cfg.step) ** 2
+
+    def body(_, centers):
+        partials = slic_update_pallas(lab_chw, centers, sw2, cfg)
+        return combine_partials(partials, centers)
+
+    centers = jax.lax.fori_loop(0, max(n_iter - 1, 0), body, centers0)
+    labels, partials = slic_update_labels_pallas(lab_chw, centers, sw2, cfg)
+    sums = combine_sums(partials)                        # (gh, gw, 6)
+    counts = sums[..., 5].reshape(-1)
+    cent = (sums[..., 3:5]
+            / jnp.maximum(sums[..., 5:6], 1.0)).reshape(-1, 2)
+    return labels[:cfg.height, :cfg.width], counts, cent
+
+
 @functools.partial(jax.jit, static_argnames=('cfg', 'n_iter', 'slico'))
 def _slic_segment_xla(image, cfg: SlicConfig, compactness,
                       n_iter=DEFAULT_SLIC_ITERS, slico=False):

@@ -50,7 +50,7 @@ _SENT = 1e30
 _OFFSETS = [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)]
 
 
-def _slic_pass_kernel(lab_ref, c6_ref, scale_ref, out_ref, *,
+def _slic_pass_kernel(lab_ref, c6_ref, scale_ref, *out_refs,
                       cfg: SlicConfig, want_labels, want_partials=None):
     """One SLIC pass for one tile row.
 
@@ -69,11 +69,11 @@ def _slic_pass_kernel(lab_ref, c6_ref, scale_ref, out_ref, *,
     if want_partials is None:
         want_partials = not want_labels
     if want_labels and want_partials:
-        labels_ref, partials_ref = out_ref
+        labels_ref, partials_ref = out_refs
     elif want_labels:
-        labels_ref = out_ref
+        labels_ref, = out_refs
     else:
-        partials_ref = out_ref
+        partials_ref, = out_refs
     step, gw = cfg.step, cfg.grid_w
     wp = cfg.pad_w
     i = pl.program_id(0)
@@ -272,12 +272,11 @@ def slic_iteration_pallas(lab_chw, valid, centers, spatial_w2,
     return labels, partials
 
 
-def combine_partials(partials, centers):
-    """Shift per-offset partials to their target seed and update centers.
+def combine_sums(partials):
+    """Shift per-offset partials to their target seed and sum.
 
     :param partials: (gh, gw, 9, 6)
-    :param centers: (gh, gw, 5) previous centers (kept where cluster empty)
-    :returns: (gh, gw, 5) new centers
+    :returns: (gh, gw, 6) per-seed [3 Lab, y, x, count] sums
     """
     gh, gw = partials.shape[:2]
     sums = jnp.zeros((gh, gw, 6), jnp.float32)
@@ -287,6 +286,17 @@ def combine_partials(partials, centers):
         shifted = jnp.pad(part, pad)[max(-di, 0):max(-di, 0) + gh,
                                      max(-dj, 0):max(-dj, 0) + gw]
         sums = sums + shifted
+    return sums
+
+
+def combine_partials(partials, centers):
+    """Per-seed mean update from partials; empty clusters keep old centers.
+
+    :param partials: (gh, gw, 9, 6)
+    :param centers: (gh, gw, 5) previous centers (kept where cluster empty)
+    :returns: (gh, gw, 5) new centers
+    """
+    sums = combine_sums(partials)
     cnt = sums[..., 5:6]
     new = sums[..., :5] / jnp.maximum(cnt, 1.0)
     return jnp.where(cnt > 0, new, centers)

@@ -34,15 +34,15 @@ def make_mesh(n_devices=None, axis_name='batch'):
 def _segment_one(image, model, *, cfg, feats_spec, gc_regul, gc_edge_type,
                  compactness):
     from pyimsegm_tpu.ops.grid import grid_lookup
-    from pyimsegm_tpu.pipelines import _grid_geometry
-    labels = slic_ops.slic_segment(image, cfg, compactness)
+    # fused path: counts/centres fall out of the final SLIC kernel pass
+    labels, _counts, centers = slic_ops.slic_segment_with_geometry(
+        image, cfg, compactness)
     seg_ids = labels.ravel()
     k = cfg.n_segments
     features, _ = descriptors.compute_selected_features_color2d(
         jnp.asarray(image, jnp.float32), seg_ids, k, dict(feats_spec),
         grid_ctx=(labels, cfg))
     proba = model.predict_proba(features)
-    _counts, centers = _grid_geometry(labels, cfg)
     graph_labels = graphcut.segment_graph_cut_general(
         labels, proba, k, image=jnp.asarray(image, jnp.float32),
         features=features, gc_regul=gc_regul, edge_type=gc_edge_type,

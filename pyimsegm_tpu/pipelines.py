@@ -42,14 +42,20 @@ def _features_spec(dict_features):
     static_argnames=('cfg', 'feats_spec', 'slico', 'n_iter'))
 def _slic_features_core(image, cfg, feats_spec, compactness,
                         slico=False, n_iter=slic_ops.DEFAULT_SLIC_ITERS):
-    labels = slic_ops.slic_segment(image, cfg, compactness, n_iter=n_iter, slico=slico)
+    if slico:
+        labels = slic_ops.slic_segment(image, cfg, compactness,
+                                       n_iter=n_iter, slico=True)
+        counts, centers = _grid_geometry(labels, cfg)
+    else:
+        # fused path: counts/centres fall out of the final SLIC kernel pass
+        labels, counts, centers = slic_ops.slic_segment_with_geometry(
+            image, cfg, compactness, n_iter=n_iter)
     seg_ids = labels.ravel()
     k = cfg.n_segments
-    counts, _centers = _grid_geometry(labels, cfg)
     features, _ = descriptors.compute_selected_features_img2d(
         jnp.asarray(image, jnp.float32), seg_ids, k, dict(feats_spec),
         grid_ctx=(labels, cfg))
-    return labels, features, counts
+    return labels, features, counts, centers
 
 
 def _grid_geometry(labels, cfg):
@@ -73,7 +79,8 @@ def _grid_geometry(labels, cfg):
 def _pipe_unsup_core(image, *, cfg, feats_spec, nb_classes, estim_model,
                      pca_coef, use_scaler, gc_regul, gc_edge_type,
                      compactness, seed=0):
-    labels, features, counts = _slic_features_core(image, cfg, feats_spec, compactness)
+    labels, features, counts, centers = _slic_features_core(
+        image, cfg, feats_spec, compactness)
     mask = (counts > 0).astype(jnp.float32)
     model = estim_class_model(features, nb_classes, estim_model, pca_coef,
                               use_scaler, sample_weight=mask, seed=seed)
@@ -83,7 +90,7 @@ def _pipe_unsup_core(image, *, cfg, feats_spec, nb_classes, estim_model,
     graph_labels = graphcut.segment_graph_cut_general(
         labels, proba, cfg.n_segments, image=jnp.asarray(image, jnp.float32),
         features=features, gc_regul=gc_regul, edge_type=gc_edge_type,
-        grid_ctx=(labels, cfg))
+        grid_ctx=(labels, cfg), centers=centers)
     segm = grid_lookup(graph_labels, labels, cfg)
     return segm, segm_soft, labels, features, proba, model
 
@@ -93,14 +100,15 @@ def _pipe_unsup_core(image, *, cfg, feats_spec, nb_classes, estim_model,
     static_argnames=('cfg', 'feats_spec', 'gc_regul', 'gc_edge_type'))
 def _segment_with_model_core(image, model: ClassModel, *, cfg, feats_spec,
                              gc_regul, gc_edge_type, compactness):
-    labels, features, counts = _slic_features_core(image, cfg, feats_spec, compactness)
+    labels, features, counts, centers = _slic_features_core(
+        image, cfg, feats_spec, compactness)
     proba = model.predict_proba(features)
     from pyimsegm_tpu.ops.grid import grid_lookup
     segm_soft = grid_lookup(proba, labels, cfg)
     graph_labels = graphcut.segment_graph_cut_general(
         labels, proba, cfg.n_segments, image=jnp.asarray(image, jnp.float32),
         features=features, gc_regul=gc_regul, edge_type=gc_edge_type,
-        grid_ctx=(labels, cfg))
+        grid_ctx=(labels, cfg), centers=centers)
     segm = grid_lookup(graph_labels, labels, cfg)
     return segm, segm_soft
 
@@ -119,7 +127,7 @@ def compute_color2d_superpixels_features(image, dict_features, sp_size=30,
     image = jnp.asarray(image)
     cfg = slic_ops.slic_config(image.shape[0], image.shape[1], sp_size)
     m = slic_ops.compactness_from_regul(sp_size, sp_regul)
-    labels, features, _counts = _slic_features_core(
+    labels, features, _counts, _centers = _slic_features_core(
         image, cfg, _features_spec(dict_features), m)
     return np.asarray(labels), np.nan_to_num(np.asarray(features))
 
@@ -162,7 +170,8 @@ def estim_model_classes_group(list_images, nb_classes, dict_features,
     for image in list_images:
         image = jnp.asarray(image)
         cfg = slic_ops.slic_config(image.shape[0], image.shape[1], sp_size)
-        _labels, features, counts = _slic_features_core(image, cfg, feats_spec, m)
+        _labels, features, counts, _centers = _slic_features_core(
+            image, cfg, feats_spec, m)
         all_features.append(features)
         all_masks.append((counts > 0).astype(jnp.float32))
         list_features.append(np.nan_to_num(np.asarray(features)))
@@ -197,7 +206,7 @@ def segment_color2d_slic_features_model_graphcut(
             compactness=m)
         return np.asarray(segm), np.asarray(segm_soft)
 
-    labels, features, _counts = _slic_features_core(
+    labels, features, _counts, centers = _slic_features_core(
         image, cfg, _features_spec(dict_features), m)
     proba = np.asarray(model_pipeline.predict_proba(
         np.nan_to_num(np.asarray(features))), np.float32)
@@ -205,7 +214,7 @@ def segment_color2d_slic_features_model_graphcut(
         labels, jnp.asarray(proba), cfg.n_segments,
         image=jnp.asarray(image, jnp.float32), features=features,
         gc_regul=float(gc_regul), edge_type=gc_edge_type,
-        grid_ctx=(labels, cfg)))
+        grid_ctx=(labels, cfg), centers=centers))
     labels_np = np.asarray(labels)
     classes = np.asarray(model_pipeline.classes_)
     segm = classes[graph_labels][labels_np]
@@ -243,7 +252,8 @@ def train_classif_color2d_slic_features(list_images, list_annots, dict_features,
             raise ValueError('image %r and annot %r should match'
                              % (image.shape, annot.shape))
         cfg = slic_ops.slic_config(image.shape[0], image.shape[1], sp_size)
-        labels_map, features, counts = _slic_features_core(image, cfg, feats_spec, m)
+        labels_map, features, counts, _centers = _slic_features_core(
+            image, cfg, feats_spec, m)
         neg_label = annot.max() + 1 if (annot < 0).any() else None
         if neg_label is not None:
             annot[annot < 0] = neg_label
@@ -328,7 +338,8 @@ def wrapper_compute_color2d_slic_features_labels(img_annot, sp_size, sp_regul,
     feats_spec = _features_spec(dict_features)
     m = slic_ops.compactness_from_regul(sp_size, sp_regul)
     cfg = slic_ops.slic_config(image.shape[0], image.shape[1], sp_size)
-    labels_map, features, counts = _slic_features_core(image, cfg, feats_spec, m)
+    labels_map, features, counts, _centers = _slic_features_core(
+        image, cfg, feats_spec, m)
     neg_label = annot.max() + 1 if (annot < 0).any() else None
     if neg_label is not None:
         annot[annot < 0] = neg_label

@@ -57,7 +57,6 @@ def pipeline_stage_profile(images, model, cfg, feats_spec, compactness,
     from pyimsegm_tpu.ops import graphcut
     from pyimsegm_tpu.ops import slic as slic_ops
     from pyimsegm_tpu.parallel.batch import _segment_one
-    from pyimsegm_tpu.pipelines import _grid_geometry
 
     spec = dict(feats_spec)
 
@@ -83,11 +82,11 @@ def pipeline_stage_profile(images, model, cfg, feats_spec, compactness,
 
     def with_mrf(ims):
         def f(im):
-            lb = slic_ops.slic_segment(im, cfg, compactness)
+            lb, _c, centers = slic_ops.slic_segment_with_geometry(
+                im, cfg, compactness)
             fts, _ = descriptors.compute_selected_features_color2d(
                 im, lb.ravel(), cfg.n_segments, spec, grid_ctx=(lb, cfg))
             proba = model.predict_proba(fts)
-            _c, centers = _grid_geometry(lb, cfg)
             return graphcut.segment_graph_cut_general(
                 lb, proba, cfg.n_segments, image=im, features=fts,
                 gc_regul=gc_regul, edge_type=gc_edge_type,

@@ -143,3 +143,24 @@ def test_slic_pallas_matches_xla_end_to_end():
     la = np.asarray(_slic_segment_pallas(jnp.asarray(img), cfg, m))
     lb = np.asarray(_slic_segment_xla(jnp.asarray(img), cfg, m))
     assert (la == lb).mean() > 0.99
+
+
+def test_slic_with_geometry_consistent():
+    """Fused labels+geometry pass: labels identical to the plain segment
+    path, counts/centres identical to the standalone geometry reduce."""
+    import jax.numpy as jnp
+    from pyimsegm_tpu.ops import slic as slic_ops
+    from pyimsegm_tpu.utils import data_samples
+
+    img = np.asarray(data_samples.load_sample_image(), np.float32)[:300, :400]
+    cfg = slic_ops.slic_config(img.shape[0], img.shape[1], 25)
+    m = slic_ops.compactness_from_regul(25, 0.2)
+    labels, counts, centers = slic_ops.slic_segment_with_geometry(
+        jnp.asarray(img), cfg, m)
+    labels2 = slic_ops.slic_segment(jnp.asarray(img), cfg, m)
+    assert np.array_equal(np.asarray(labels), np.asarray(labels2))
+    counts2, centers2 = slic_ops._labels_geometry(labels2, cfg)
+    assert np.array_equal(np.asarray(counts), np.asarray(counts2))
+    occupied = np.asarray(counts) > 0
+    assert np.allclose(np.asarray(centers)[occupied],
+                       np.asarray(centers2)[occupied], atol=1e-3)
