@@ -222,10 +222,19 @@ def _adjacency_kernel(labels_ref, labels_down_ref, out_ref, *,
 
     for oi in range(9):
         sel = jnp.where(oa == oi, bits, 0)
-        acc = sel[0:1, :]
-        for r in range(1, step):
-            acc = acc | sel[r:r + 1, :]
-        out_ref[0, oi:oi + 1, :] = acc
+        # halving OR tree: ~log2(step) wide ops instead of `step` row ops
+        n = step
+        while n > 1:
+            h = (n + 1) // 2
+            top = sel[:h]
+            bot = sel[h:n]
+            if bot.shape[0] < h:
+                bot = jnp.concatenate(
+                    [bot, jnp.zeros((h - bot.shape[0], wp), jnp.int32)],
+                    axis=0)
+            sel = top | bot
+            n = h
+        out_ref[0, oi:oi + 1, :] = sel
 
 
 @functools.partial(jax.jit, static_argnames=('cfg',))
