@@ -245,7 +245,7 @@ def _labels_geometry(labels, cfg: SlicConfig):
 
 @functools.partial(jax.jit, static_argnames=('cfg', 'n_iter'))
 def _slic_segment_geom_pallas(image, cfg: SlicConfig, compactness,
-                              n_iter=DEFAULT_SLIC_ITERS):
+                              n_iter=DEFAULT_SLIC_ITERS, feat_image=None):
     from pyimsegm_tpu.ops.slic_pallas import (
         combine_partials, combine_sums, slic_update_labels_pallas,
         slic_update_pallas)
@@ -253,17 +253,56 @@ def _slic_segment_geom_pallas(image, cfg: SlicConfig, compactness,
     lab_chw = jnp.transpose(lab_p, (2, 0, 1)).astype(jnp.bfloat16)
     sw2 = (jnp.asarray(compactness, jnp.float32) / cfg.step) ** 2
 
+    feat_chw = None
+    if feat_image is not None:
+        ph, pw = cfg.pad_h - cfg.height, cfg.pad_w - cfg.width
+        feat_p = jnp.pad(jnp.asarray(feat_image, jnp.float32),
+                         [(0, ph), (0, pw), (0, 0)])
+        feat_chw = jnp.transpose(feat_p, (2, 0, 1))
+
     def body(_, centers):
         partials = slic_update_pallas(lab_chw, centers, sw2, cfg)
         return combine_partials(partials, centers)
 
     centers = jax.lax.fori_loop(0, max(n_iter - 1, 0), body, centers0)
-    labels, partials = slic_update_labels_pallas(lab_chw, centers, sw2, cfg)
-    sums = combine_sums(partials)                        # (gh, gw, 6)
+    labels, partials = slic_update_labels_pallas(lab_chw, centers, sw2, cfg,
+                                                 feat_chw=feat_chw)
+    sums = combine_sums(partials)                        # (gh, gw, 6|12)
     counts = sums[..., 5].reshape(-1)
     cent = (sums[..., 3:5]
             / jnp.maximum(sums[..., 5:6], 1.0)).reshape(-1, 2)
-    return labels[:cfg.height, :cfg.width], counts, cent
+    labels = labels[:cfg.height, :cfg.width]
+    if feat_image is None:
+        return labels, counts, cent
+    k = cfg.grid_h * cfg.grid_w
+    moment_sums = sums[..., 6:12].reshape(k, 6)
+    return labels, counts, cent, moment_sums
+
+
+def slic_segment_with_features(image, feat_image, cfg: SlicConfig,
+                               compactness, n_iter=DEFAULT_SLIC_ITERS):
+    """SLIC labels + geometry + per-superpixel color moment sums.
+
+    The moment sums (sum v, sum v^2 per channel of ``feat_image``) fall out
+    of the final fused kernel pass on TPU — the whole feature-extraction
+    reduction for color mean/std/energy disappears from the pipeline.
+
+    :param feat_image: (H, W, 3) float image whose per-superpixel moments
+        are wanted (any color space)
+    :returns: (labels, counts (K,), centers (K, 2), moment_sums (K, 6) —
+        [sum v0, sum v1, sum v2, sum v0^2, sum v1^2, sum v2^2])
+    """
+    if _pallas_available():
+        return _slic_segment_geom_pallas(image, cfg, compactness,
+                                         n_iter=n_iter,
+                                         feat_image=feat_image)
+    labels = _slic_segment_xla(image, cfg, compactness, n_iter=n_iter)
+    counts, centers = _labels_geometry(labels, cfg)
+    from pyimsegm_tpu.ops.grid import grid_segment_sum
+    feat = jnp.asarray(feat_image, jnp.float32)
+    sums = grid_segment_sum(
+        jnp.concatenate([feat, feat * feat], axis=-1), labels, cfg)
+    return labels, counts, centers, sums
 
 
 @functools.partial(jax.jit, static_argnames=('cfg', 'n_iter', 'slico'))

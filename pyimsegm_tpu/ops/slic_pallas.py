@@ -50,8 +50,9 @@ _SENT = 1e30
 _OFFSETS = [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)]
 
 
-def _slic_pass_kernel(lab_ref, c6_ref, scale_ref, *out_refs,
-                      cfg: SlicConfig, want_labels, want_partials=None):
+def _slic_pass_kernel(lab_ref, c6_ref, scale_ref, *refs,
+                      cfg: SlicConfig, want_labels, want_partials=None,
+                      want_features=False):
     """One SLIC pass for one tile row.
 
     lab_ref:      (3, 1, step, wp)  Lab pixels of this tile row
@@ -59,21 +60,27 @@ def _slic_pass_kernel(lab_ref, c6_ref, scale_ref, *out_refs,
                                    [l, a, b, s*y, s*x, |c|^2/2], 1 sentinel
                                    row of padding on each side
     scale_ref:    (1, 1)           s = m/step spatial scale in SMEM
-    out_ref:      labels (1, step, wp) winning superpixel id (want_labels),
-                  partials (1, 54, gw) 9 offsets x [3 Lab, y, x, count]
-                  (want_partials), or [labels, partials] (both — the final
-                  fused pass: labels come from the same assignment that
-                  feeds the last center update, matching skimage's
-                  assign-then-update iteration order)
+    refs:         optional feature-image input (3, 1, step, wp) f32 when
+                  ``want_features``, then the outputs:
+                  labels (1, step, wp) winning superpixel id (want_labels),
+                  partials (1, 54 or 108, gw) — 9 offsets x [3 Lab, y, x,
+                  count] update sums, plus 9 x [3 sum(v), 3 sum(v^2)] color
+                  moment sums when ``want_features`` (want_partials).
+                  [labels, partials] together form the final fused pass:
+                  labels come from the same assignment that feeds the last
+                  center update + feature reduction, matching skimage's
+                  assign-then-update iteration order.
     """
     if want_partials is None:
         want_partials = not want_labels
+    refs = list(refs)
+    feat_ref = refs.pop(0) if want_features else None
     if want_labels and want_partials:
-        labels_ref, partials_ref = out_refs
+        labels_ref, partials_ref = refs
     elif want_labels:
-        labels_ref, = out_refs
+        labels_ref, = refs
     else:
-        partials_ref, = out_refs
+        partials_ref, = refs
     step, gw = cfg.step, cfg.grid_w
     wp = cfg.pad_w
     i = pl.program_id(0)
@@ -146,10 +153,16 @@ def _slic_pass_kernel(lab_ref, c6_ref, scale_ref, *out_refs,
         if not want_partials:
             return
 
-    rows54 = []
+    if want_features:
+        v0 = feat_ref[0, 0]
+        v1 = feat_ref[1, 0]
+        v2 = feat_ref[2, 0]                              # (step, wp) f32
+        q0, q1, q2 = v0 * v0, v1 * v1, v2 * v2
+
+    rows = []
     for oi in range(9):
         w = jnp.where(best_o == oi, valid, 0.0)
-        rows54 += [
+        rows += [
             jnp.sum(l0 * w, axis=0, keepdims=True),
             jnp.sum(l1 * w, axis=0, keepdims=True),
             jnp.sum(l2 * w, axis=0, keepdims=True),
@@ -157,7 +170,16 @@ def _slic_pass_kernel(lab_ref, c6_ref, scale_ref, *out_refs,
             jnp.sum(px * w, axis=0, keepdims=True),
             jnp.sum(w, axis=0, keepdims=True),
         ]
-    data54 = jnp.concatenate(rows54, axis=0)             # (54, wp)
+        if want_features:
+            rows += [
+                jnp.sum(v0 * w, axis=0, keepdims=True),
+                jnp.sum(v1 * w, axis=0, keepdims=True),
+                jnp.sum(v2 * w, axis=0, keepdims=True),
+                jnp.sum(q0 * w, axis=0, keepdims=True),
+                jnp.sum(q1 * w, axis=0, keepdims=True),
+                jnp.sum(q2 * w, axis=0, keepdims=True),
+            ]
+    data54 = jnp.concatenate(rows, axis=0)               # (54|108, wp)
 
     l_of_row = jax.lax.broadcasted_iota(jnp.int32, (wp, gw), 0) // step
     g_of_col = jax.lax.broadcasted_iota(jnp.int32, (wp, gw), 1)
@@ -183,20 +205,22 @@ def _centers_to_score6(centers, s, gw):
 
 
 def _pallas_pass(lab_chw, centers, spatial_w2, cfg: SlicConfig,
-                 want_labels, want_partials=None):
+                 want_labels, want_partials=None, feat_chw=None):
     gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
     if want_partials is None:
         want_partials = not want_labels
+    want_features = feat_chw is not None
     s = jnp.sqrt(jnp.asarray(spatial_w2, jnp.float32))
     centers_pad = _centers_to_score6(centers, s, gw)
     scale = s.reshape(1, 1)
 
+    n_rows = 108 if want_features else 54
     labels_spec = pl.BlockSpec((1, step, cfg.pad_w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)
     labels_shape = jax.ShapeDtypeStruct((gh, step, cfg.pad_w), jnp.int32)
-    partials_spec = pl.BlockSpec((1, 54, gw), lambda i: (i, 0, 0),
+    partials_spec = pl.BlockSpec((1, n_rows, gw), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
-    partials_shape = jax.ShapeDtypeStruct((gh, 54, gw), jnp.float32)
+    partials_shape = jax.ShapeDtypeStruct((gh, n_rows, gw), jnp.float32)
     if want_labels and want_partials:
         out_spec = [labels_spec, partials_spec]
         out_shape = [labels_shape, partials_shape]
@@ -205,36 +229,49 @@ def _pallas_pass(lab_chw, centers, spatial_w2, cfg: SlicConfig,
     else:
         out_spec, out_shape = partials_spec, partials_shape
 
+    in_specs = [
+        # 4D layout (3, gh, step, wp): the last two block dims equal the
+        # array dims, satisfying the TPU (8, 128)-divisibility rule for
+        # the non-multiple tile size `step`
+        pl.BlockSpec((3, 1, step, cfg.pad_w), lambda i: (0, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((gh + 2, 6, gw), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    operands = [lab_chw.reshape(3, gh, step, cfg.pad_w), centers_pad, scale]
+    if want_features:
+        in_specs.append(
+            pl.BlockSpec((3, 1, step, cfg.pad_w), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM))
+        operands.append(feat_chw.reshape(3, gh, step, cfg.pad_w))
+
     return pl.pallas_call(
         functools.partial(_slic_pass_kernel, cfg=cfg,
                           want_labels=want_labels,
-                          want_partials=want_partials),
+                          want_partials=want_partials,
+                          want_features=want_features),
         grid=(gh,),
-        in_specs=[
-            # 4D layout (3, gh, step, wp): the last two block dims equal the
-            # array dims, satisfying the TPU (8, 128)-divisibility rule for
-            # the non-multiple tile size `step`
-            pl.BlockSpec((3, 1, step, cfg.pad_w), lambda i: (0, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((gh + 2, 6, gw), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_spec,
         out_shape=out_shape,
-    )(lab_chw.reshape(3, gh, step, cfg.pad_w), centers_pad, scale)
+    )(*operands)
 
 
 @functools.partial(jax.jit, static_argnames=('cfg',))
-def slic_update_labels_pallas(lab_chw, centers, spatial_w2, cfg: SlicConfig):
-    """Fused final pass: labels AND update partials from one assignment.
+def slic_update_labels_pallas(lab_chw, centers, spatial_w2, cfg: SlicConfig,
+                              feat_chw=None):
+    """Fused final pass: labels AND update partials from one assignment,
+    optionally with per-superpixel color moment sums of ``feat_chw``.
 
-    :returns: (labels (pad_h, pad_w) int32, partials (gh, gw, 9, 6))
+    :returns: (labels (pad_h, pad_w) int32, partials (gh, gw, 9, 6 or 12))
     """
     labels, partials = _pallas_pass(lab_chw, centers, spatial_w2, cfg,
-                                    want_labels=True, want_partials=True)
-    partials = jnp.transpose(partials.reshape(cfg.grid_h, 9, 6, cfg.grid_w),
-                             (0, 3, 1, 2))
+                                    want_labels=True, want_partials=True,
+                                    feat_chw=feat_chw)
+    ch = partials.shape[1] // 9
+    partials = jnp.transpose(
+        partials.reshape(cfg.grid_h, 9, ch, cfg.grid_w), (0, 3, 1, 2))
     return labels.reshape(cfg.pad_h, cfg.pad_w), partials
 
 
@@ -275,11 +312,12 @@ def slic_iteration_pallas(lab_chw, valid, centers, spatial_w2,
 def combine_sums(partials):
     """Shift per-offset partials to their target seed and sum.
 
-    :param partials: (gh, gw, 9, 6)
-    :returns: (gh, gw, 6) per-seed [3 Lab, y, x, count] sums
+    :param partials: (gh, gw, 9, CH) — CH = 6 update sums, optionally +6
+        color moment sums
+    :returns: (gh, gw, CH) per-seed sums ([3 Lab, y, x, count, ...])
     """
     gh, gw = partials.shape[:2]
-    sums = jnp.zeros((gh, gw, 6), jnp.float32)
+    sums = jnp.zeros((gh, gw, partials.shape[-1]), jnp.float32)
     for oi, (di, dj) in enumerate(_OFFSETS):
         part = partials[:, :, oi]
         pad = [(max(di, 0), max(-di, 0)), (max(dj, 0), max(-dj, 0)), (0, 0)]

@@ -34,14 +34,12 @@ def make_mesh(n_devices=None, axis_name='batch'):
 def _segment_one(image, model, *, cfg, feats_spec, gc_regul, gc_edge_type,
                  compactness):
     from pyimsegm_tpu.ops.grid import grid_lookup
-    # fused path: counts/centres fall out of the final SLIC kernel pass
-    labels, _counts, centers = slic_ops.slic_segment_with_geometry(
-        image, cfg, compactness)
-    seg_ids = labels.ravel()
+    from pyimsegm_tpu.pipelines import _slic_features_core
+    # fused path: geometry (and color moments when the feature spec allows)
+    # fall out of the final SLIC kernel pass
+    labels, features, _counts, centers = _slic_features_core(
+        image, cfg, feats_spec, compactness)
     k = cfg.n_segments
-    features, _ = descriptors.compute_selected_features_color2d(
-        jnp.asarray(image, jnp.float32), seg_ids, k, dict(feats_spec),
-        grid_ctx=(labels, cfg))
     proba = model.predict_proba(features)
     graph_labels = graphcut.segment_graph_cut_general(
         labels, proba, k, image=jnp.asarray(image, jnp.float32),

@@ -37,15 +37,50 @@ def _features_spec(dict_features):
 
 # ------------------------------------------------------------------ core ---
 
+_MOMENT_FLAGS = ('mean', 'std', 'energy')
+
+
+def _fusable_color_spec(feats_spec):
+    """A single color-space key whose stats are all plain moments can ride
+    the fused SLIC kernel pass; returns the key or None."""
+    if len(feats_spec) != 1:
+        return None
+    key, flags = feats_spec[0]
+    if not key.startswith('color') or not flags:
+        return None
+    if any(f not in _MOMENT_FLAGS for f in flags):
+        return None
+    return key
+
+
 @functools.partial(
     jax.jit,
     static_argnames=('cfg', 'feats_spec', 'slico', 'n_iter'))
 def _slic_features_core(image, cfg, feats_spec, compactness,
                         slico=False, n_iter=slic_ops.DEFAULT_SLIC_ITERS):
+    fuse_key = None if slico else _fusable_color_spec(feats_spec)
     if slico:
         labels = slic_ops.slic_segment(image, cfg, compactness,
                                        n_iter=n_iter, slico=True)
         counts, centers = _grid_geometry(labels, cfg)
+    elif fuse_key is not None:
+        # fully fused final pass: labels + geometry + color moment sums
+        from pyimsegm_tpu.ops import color as color_ops
+        img_f = jnp.asarray(image, jnp.float32)
+        feat_img = (color_ops.convert_img_color_from_rgb(
+            img_f, fuse_key.split('_')[-1]) if '_' in fuse_key else img_f)
+        labels, counts, centers, msums = slic_ops.slic_segment_with_features(
+            image, feat_img, cfg, compactness, n_iter=n_iter)
+        flags = dict(feats_spec)[fuse_key]
+        safe = jnp.maximum(counts[:, None], 1.0)
+        mean = msums[:, :3] / safe
+        energy = msums[:, 3:6] / safe
+        blocks = {'mean': mean,
+                  'std': jnp.sqrt(jnp.maximum(energy - mean * mean, 0.0)),
+                  'energy': energy}
+        features = jnp.concatenate(
+            [blocks[f] for f in _MOMENT_FLAGS if f in flags], axis=-1)
+        return labels, features, counts, centers
     else:
         # fused path: counts/centres fall out of the final SLIC kernel pass
         labels, counts, centers = slic_ops.slic_segment_with_geometry(
