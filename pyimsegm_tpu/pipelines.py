@@ -58,7 +58,8 @@ def _fusable_color_spec(feats_spec):
     static_argnames=('cfg', 'feats_spec', 'slico', 'n_iter'))
 def _slic_features_core(image, cfg, feats_spec, compactness,
                         slico=False, n_iter=slic_ops.DEFAULT_SLIC_ITERS):
-    fuse_key = None if slico else _fusable_color_spec(feats_spec)
+    fuse_key = None if (slico or jnp.ndim(image) != 3) \
+        else _fusable_color_spec(feats_spec)
     if slico:
         labels = slic_ops.slic_segment(image, cfg, compactness,
                                        n_iter=n_iter, slico=True)
