@@ -155,11 +155,14 @@ def compute_selected_features_gray2d(image, seg_ids, num_segments, dict_features
                                             dict_features)
 
 
-def compute_selected_features_gray3d(volume, seg_ids, num_segments, dict_features):
+def compute_selected_features_gray3d(volume, seg_ids, num_segments,
+                                     dict_features, grid_ctx3d=None):
     """Features for a 3D gray volume (`descriptors.py:1109-1168`).
 
     :param volume: (Z, H, W) float array
     :param seg_ids: (Z*H*W,) int32
+    :param grid_ctx3d: optional (labels3d, Slic3DConfig) enabling the
+        scatter-free 27-offset reduction for grid-structured supervoxels
     """
     volume = jnp.asarray(volume, jnp.float32)
     feats, names = [], []
@@ -168,21 +171,23 @@ def compute_selected_features_gray3d(volume, seg_ids, num_segments, dict_feature
         flags = tuple(np.unique(np.concatenate([list(dict_features[k]) for k in color_keys])))
         # keep canonical ordering
         flags = tuple(f for f in NAMES_FEATURE_FLAGS if f in flags)
-        feats.append(_gray3d_statistics(volume, seg_ids, num_segments, flags))
+        feats.append(_gray3d_statistics(volume, seg_ids, num_segments, flags,
+                                        grid_ctx3d=grid_ctx3d))
         names += ['gray_%s' % f for f in flags]
     texture_keys = [k for k in dict_features if k.startswith('tLM')]
     for key in texture_keys:
         bank_type = key.split('_')[-1] if '_' in key else 'normal'
         flags = tuple(dict_features[key])
         f, n = _texture_features_gray3d(volume, seg_ids, num_segments, flags,
-                                        bank_type)
+                                        bank_type, grid_ctx3d=grid_ctx3d)
         feats.append(f)
         names += n
     features = jnp.concatenate(feats, axis=-1)
     return jnp.nan_to_num(features), names
 
 
-def _texture_features_gray3d(volume, seg_ids, num_segments, flags, bank_type):
+def _texture_features_gray3d(volume, seg_ids, num_segments, flags, bank_type,
+                             grid_ctx3d=None):
     """LM texture statistics over a gray volume: per-slice 2D background
     subtraction + bank response (the reference treats z-slices independently,
     `descriptors.py:969-994`), reduced per 3D segment."""
@@ -194,17 +199,31 @@ def _texture_features_gray3d(volume, seg_ids, num_segments, flags, bank_type):
     responses = jnp.stack(resp_slices, axis=1)[..., 0]   # (B, Z, H, W)
     feats, names = [], []
     for bi, bname in enumerate(bank.names):
-        feats.append(_gray3d_statistics(responses[bi], seg_ids, num_segments, flags))
+        feats.append(_gray3d_statistics(responses[bi], seg_ids, num_segments,
+                                        flags, grid_ctx3d=grid_ctx3d))
         names += ['tLM_%s_%s' % (bname, f) for f in flags]
     return jnp.concatenate(feats, axis=-1), names
 
 
-def _gray3d_statistics(volume, seg_ids, num_segments, flags):
+def _gray3d_statistics(volume, seg_ids, num_segments, flags, grid_ctx3d=None):
     flat = volume.reshape(-1, 1)
     blocks = []
-    moments = segment_stats.segment_mean_std_energy(
-        flat, seg_ids, num_segments,
-        flags=tuple(f for f in ('mean', 'std', 'energy') if f in flags))
+    moment_flags = tuple(f for f in ('mean', 'std', 'energy') if f in flags)
+    if grid_ctx3d is not None and moment_flags:
+        from pyimsegm_tpu.ops.slic3d import grid3d_segment_sum
+        labels3d, cfg3 = grid_ctx3d
+        ones = jnp.ones(volume.shape + (1,), jnp.float32)
+        sums = grid3d_segment_sum(
+            jnp.concatenate([volume[..., None], (volume * volume)[..., None],
+                             ones], axis=-1), labels3d, cfg3)
+        safe = jnp.maximum(sums[:, 2:3], 1.0)
+        mean = sums[:, 0:1] / safe
+        energy = sums[:, 1:2] / safe
+        moments = {'mean': mean, 'energy': energy,
+                   'std': jnp.sqrt(jnp.maximum(energy - mean * mean, 0.0))}
+    else:
+        moments = segment_stats.segment_mean_std_energy(
+            flat, seg_ids, num_segments, flags=moment_flags)
     for f in ('mean', 'std', 'energy'):
         if f in flags:
             blocks.append(moments[f])
