@@ -89,6 +89,16 @@ def slic3d_segment(volume, cfg: Slic3DConfig, compactness, n_iter=10):
     sw = 1.0 / nominal ** 2
     m2 = jnp.asarray(compactness, jnp.float32) ** 2
 
+    import os
+    from pyimsegm_tpu.ops.slic import _pallas_available
+    # opt-in until the kernel is validated on a live chip
+    # (PYIMSEGM_SLIC3D_PALLAS=1)
+    if _pallas_available() \
+            and os.environ.get('PYIMSEGM_SLIC3D_PALLAS', '0') == '1':
+        from pyimsegm_tpu.ops.slic3d_pallas import slic3d_iterate_pallas
+        scales = space * jnp.sqrt(sw * m2)
+        return slic3d_iterate_pallas(vol_p, centers0, scales, cfg, n_iter)
+
     offsets = [(a, b, c) for a in (-1, 0, 1) for b in (-1, 0, 1) for c in (-1, 0, 1)]
 
     def assign(centers, want_labels):

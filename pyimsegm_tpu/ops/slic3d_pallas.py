@@ -1,0 +1,242 @@
+"""Fused Pallas kernel for 3D anisotropic SLIC supervoxels.
+
+Same design as the 2D kernel (`pyimsegm_tpu.ops.slic_pallas`), lifted to the
+3x3x3 candidate neighbourhood:
+
+* program grid = (gz, gy): each program owns one z-tile slab x one y-tile
+  row — an (sz*sy, wp) pixel block assembled from the slab's z-slices (all
+  voxels in the slab share the same 27 candidate center planes);
+* the squared anisotropic distance is evaluated in dot-product form
+  ``argmax p·c − |c|²/2`` on spacing-scaled 5-vectors
+  ``p = (v, s_z*z, s_y*y, s_x*x, 1)``;
+* all 27 candidate-center fields broadcast with ONE ``(216, gx) @ (gx, wp)``
+  selector matmul at ``Precision.HIGHEST`` (default TPU matmul precision
+  rounds the |c|²/2 row by more than inter-candidate gaps — see the 2D
+  kernel's history);
+* the update pools per-offset [v, z, y, x, count] sums per x-tile column
+  with the mirrored selector matmul; the cross-tile combine (27 shifts over
+  the tiny (gz, gy, gx, 6) table) stays in XLA.
+
+Replaces the XLA formulation's per-offset whole-volume field
+materialisation (~500 B/voxel of HBM churn per pass).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pyimsegm_tpu.ops.slic3d import Slic3DConfig
+
+_SENT = 1e30
+_OFFSETS3 = [(a, b, c) for a in (-1, 0, 1) for b in (-1, 0, 1)
+             for c in (-1, 0, 1)]
+
+
+def _slic3d_pass_kernel(vol_ref, c6_ref, scale_ref, *out_refs,
+                        cfg: Slic3DConfig, want_labels):
+    """One pass for one (z-tile, y-tile-row) slab.
+
+    vol_ref:   (1, 1, sz*sy, wp) slab voxel values (z-major rows)
+    c6_ref:    (3, 3, 6, gx) candidate center planes (z, y neighbourhoods
+               of this slab, sentinel-padded outside the grid):
+               rows [v, s_z*cz, s_y*cy, s_x*cx, |c|^2/2, 0]
+    scale_ref: (1, 3) SMEM (s_z, s_y, s_x) — spacing * sqrt(sw * m^2)
+    out_refs:  want_labels: labels (1, 1, sz*sy, wp) int32
+               else: partials (1, 1, 216, gx) — 27 offsets x 8 rows
+               [v, z, y, x, count, 0, 0, 0]
+    """
+    gz, gy, gx = cfg.grid
+    sz, sy, sx = cfg.steps
+    wp = cfg.pad[2]
+    zdim, hdim, wdim = cfg.shape
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    rows = sz * sy
+    v = vol_ref[0, 0]                                    # (sz*sy, wp)
+    s_z = scale_ref[0, 0]
+    s_y = scale_ref[0, 1]
+    s_x = scale_ref[0, 2]
+
+    rr = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 0)
+    ll = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 1)
+    zi = rr // sy                                        # slab-local z slice
+    gzv = i * sz + zi                                    # global z
+    gyv = j * sy + (rr - zi * sy)                        # global y
+    pz = gzv.astype(jnp.float32) * s_z
+    py = gyv.astype(jnp.float32) * s_y
+    px = ll.astype(jnp.float32) * s_x
+    valid = ((gzv < zdim) & (gyv < hdim) & (ll < wdim)).astype(jnp.float32)
+    lane_tile = ll // sx
+
+    # static selector: tile col -> its lanes
+    g_of_row = jax.lax.broadcasted_iota(jnp.int32, (gx, wp), 0)
+    l_of_col = jax.lax.broadcasted_iota(jnp.int32, (gx, wp), 1) // sx
+    sel_field = (g_of_row == l_of_col).astype(jnp.float32)     # (gx, wp)
+
+    sent_col = jnp.concatenate(
+        [jnp.zeros((4, 1), jnp.float32),
+         jnp.full((1, 1), _SENT, jnp.float32),
+         jnp.zeros((1, 1), jnp.float32)], axis=0)        # (6, 1)
+    pad2 = jnp.zeros((2, gx), jnp.float32)
+    stacked = []
+    for dz, dy, dx in _OFFSETS3:
+        row = c6_ref[dz + 1, dy + 1, :, :]               # (6, gx)
+        if dx == -1:
+            row = jnp.concatenate([sent_col, row[:, :-1]], axis=1)
+        elif dx == 1:
+            row = jnp.concatenate([row[:, 1:], sent_col], axis=1)
+        stacked.append(jnp.concatenate([row, pad2], axis=0))
+    stacked = jnp.concatenate(stacked, axis=0)           # (216, gx)
+    fields = jax.lax.dot(stacked, sel_field,
+                         precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)  # (216, wp)
+
+    best_s = jnp.full((rows, wp), -jnp.inf, jnp.float32)
+    best_o = jnp.zeros((rows, wp), jnp.int32)
+    if want_labels:
+        best_l = jnp.zeros((rows, wp), jnp.int32)
+
+    for oi, (dz, dy, dx) in enumerate(_OFFSETS3):
+        f = fields[8 * oi:8 * oi + 8]                    # (8, wp)
+        score = (v * f[0:1, :] + pz * f[1:2, :] + py * f[2:3, :]
+                 + px * f[3:4, :] - f[4:5, :])
+        take = score > best_s
+        best_s = jnp.where(take, score, best_s)
+        if want_labels:
+            cand = ((i + dz) * gy + j + dy) * gx + dx + lane_tile
+            best_l = jnp.where(take, cand, best_l)
+        else:
+            best_o = jnp.where(take, oi, best_o)
+
+    if want_labels:
+        out_refs[0][0, 0] = best_l
+        return
+
+    pzr = gzv.astype(jnp.float32)
+    pyr = gyv.astype(jnp.float32)
+    pxr = ll.astype(jnp.float32)
+    rows216 = []
+    zero_row = jnp.zeros((1, wp), jnp.float32)
+    for oi in range(27):
+        w = jnp.where(best_o == oi, valid, 0.0)
+        rows216 += [
+            jnp.sum(v * w, axis=0, keepdims=True),
+            jnp.sum(pzr * w, axis=0, keepdims=True),
+            jnp.sum(pyr * w, axis=0, keepdims=True),
+            jnp.sum(pxr * w, axis=0, keepdims=True),
+            jnp.sum(w, axis=0, keepdims=True),
+            zero_row, zero_row, zero_row,
+        ]
+    data216 = jnp.concatenate(rows216, axis=0)           # (216, wp)
+
+    l_of_row2 = jax.lax.broadcasted_iota(jnp.int32, (wp, gx), 0) // sx
+    g_of_col2 = jax.lax.broadcasted_iota(jnp.int32, (wp, gx), 1)
+    sel_pool = (l_of_row2 == g_of_col2).astype(jnp.float32)    # (wp, gx)
+    out_refs[0][0, 0] = jax.lax.dot(
+        data216, sel_pool, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)              # (216, gx)
+
+
+def _centers_to_score6_3d(centers, scales):
+    """(gz, gy, gx, 4) centers -> padded (gz+2, gy+2, 6, gx) score vectors."""
+    gz, gy, gx = centers.shape[:3]
+    cv = centers[..., 0]
+    sz_ = centers[..., 1] * scales[0]
+    sy_ = centers[..., 2] * scales[1]
+    sx_ = centers[..., 3] * scales[2]
+    half = 0.5 * (cv * cv + sz_ * sz_ + sy_ * sy_ + sx_ * sx_)
+    zero = jnp.zeros_like(cv)
+    c6 = jnp.stack([cv, sz_, sy_, sx_, half, zero], axis=2)  # (gz,gy,6,gx)
+    sent = jnp.zeros((6,), jnp.float32).at[4].set(_SENT)
+    c6 = jnp.pad(c6, [(1, 1), (1, 1), (0, 0), (0, 0)])
+    # padded planes/rows must carry the sentinel half row
+    mask = jnp.ones((gz + 2, gy + 2), bool).at[0].set(False) \
+        .at[-1].set(False).at[:, 0].set(False).at[:, -1].set(False)
+    return jnp.where(mask[:, :, None, None], c6,
+                     sent[None, None, :, None])
+
+
+def _pass3d(vol4, centers, scales, cfg: Slic3DConfig, want_labels):
+    gz, gy, gx = cfg.grid
+    sz, sy, sx = cfg.steps
+    wp = cfg.pad[2]
+    c6 = _centers_to_score6_3d(centers, scales)
+    scale = jnp.asarray(scales, jnp.float32).reshape(1, 3)
+
+    if want_labels:
+        out_spec = pl.BlockSpec((1, 1, sz * sy, wp), lambda i, j: (i, j, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((gz, gy, sz * sy, wp), jnp.int32)
+    else:
+        out_spec = pl.BlockSpec((1, 1, 216, gx), lambda i, j: (i, j, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((gz, gy, 216, gx), jnp.float32)
+
+    return pl.pallas_call(
+        functools.partial(_slic3d_pass_kernel, cfg=cfg,
+                          want_labels=want_labels),
+        grid=(gz, gy),
+        in_specs=[
+            pl.BlockSpec((1, 1, sz * sy, wp), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, 6, gx), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=out_spec,
+        out_shape=out_shape,
+    )(vol4, c6, scale)
+
+
+def slic3d_iterate_pallas(vol_p, centers0, scales, cfg: Slic3DConfig,
+                          n_iter):
+    """Full 3D SLIC iteration schedule on the Pallas kernel.
+
+    :param vol_p: (pad_z, pad_h, pad_w) f32 normalised volume
+    :param centers0: (gz, gy, gx, 4) initial centers [v, z, y, x]
+    :param scales: (3,) per-axis spatial scale (spacing * sqrt(sw*m^2))
+    :returns: (pad-cropped labels (Z, H, W) int32)
+    """
+    gz, gy, gx = cfg.grid
+    sz, sy, sx = cfg.steps
+    # (gz, gy, sz*sy, wp) slab-major layout: each program reads one
+    # contiguous (sz*sy, wp) block, no in-kernel slice concatenation
+    vol4 = jnp.transpose(vol_p.reshape(gz, sz, gy, sy, cfg.pad[2]),
+                         (0, 2, 1, 3, 4)).reshape(gz, gy, sz * sy,
+                                                  cfg.pad[2])
+
+    def combine(partials):
+        # partials (gz, gy, 216, gx) -> (gz, gy, gx, 27, 8) -> shifted sums
+        part = jnp.transpose(
+            partials.reshape(gz, gy, 27, 8, gx), (0, 1, 4, 2, 3))
+        sums = jnp.zeros((gz, gy, gx, 8), jnp.float32)
+        for oi, (dz, dy, dx) in enumerate(_OFFSETS3):
+            p = part[:, :, :, oi]
+            pad = [(max(dz, 0), max(-dz, 0)), (max(dy, 0), max(-dy, 0)),
+                   (max(dx, 0), max(-dx, 0)), (0, 0)]
+            shifted = jnp.pad(p, pad)[max(-dz, 0):max(-dz, 0) + gz,
+                                      max(-dy, 0):max(-dy, 0) + gy,
+                                      max(-dx, 0):max(-dx, 0) + gx]
+            sums = sums + shifted
+        return sums
+
+    def body(_, centers):
+        partials = _pass3d(vol4, centers, scales, cfg, want_labels=False)
+        sums = combine(partials)
+        cnt = sums[..., 4:5]
+        new = sums[..., :4] / jnp.maximum(cnt, 1.0)
+        return jnp.where(cnt > 0, new, centers)
+
+    centers = jax.lax.fori_loop(0, max(n_iter - 1, 0), body, centers0)
+    labels = _pass3d(vol4, centers, scales, cfg, want_labels=True)
+    # (gz, gy, sz*sy, wp) -> (pad_z, pad_h, pad_w)
+    labels = jnp.transpose(
+        labels.reshape(gz, gy, sz, sy, cfg.pad[2]), (0, 2, 1, 3, 4))
+    labels = labels.reshape(cfg.pad[0], cfg.pad[1], cfg.pad[2])
+    z, h, w = cfg.shape
+    return labels[:z, :h, :w]
