@@ -52,13 +52,15 @@ def _upsample3d(grid_arr, steps):
     return out.reshape(gz * sz, gy * sy, gx * sx, f)
 
 
-@functools.partial(jax.jit, static_argnames=('cfg', 'n_iter'))
-def slic3d_segment(volume, cfg: Slic3DConfig, compactness, n_iter=10):
-    """Supervoxel labels (Z, H, W) int32 in [0, K)."""
+def _prep3d(volume, cfg: Slic3DConfig):
+    """Normalise, pad, and seed: shared by the XLA and Pallas backends.
+
+    :returns: (vol_p padded volume, valid mask, centers0 (gz,gy,gx,4),
+        sw spatial normaliser)
+    """
     z, h, w = cfg.shape
     gz, gy, gx = cfg.grid
     sz, sy, sx = cfg.steps
-    k_sp = cfg.n_segments
     vol = volume.astype(jnp.float32)
     lo, hi = jnp.min(vol), jnp.max(vol)
     vol = (vol - lo) / jnp.maximum(hi - lo, 1e-12)
@@ -67,12 +69,6 @@ def slic3d_segment(volume, cfg: Slic3DConfig, compactness, n_iter=10):
     vol_p = jnp.pad(vol, [(0, pz), (0, py), (0, px)], mode='edge')
     valid = jnp.pad(jnp.ones((z, h, w), jnp.float32),
                     [(0, pz), (0, py), (0, px)])
-    dp, hp, wp = cfg.pad
-
-    space = jnp.asarray(cfg.spacing, jnp.float32)
-    cz = jax.lax.broadcasted_iota(jnp.float32, (dp, hp, wp), 0)
-    cy = jax.lax.broadcasted_iota(jnp.float32, (dp, hp, wp), 1)
-    cx = jax.lax.broadcasted_iota(jnp.float32, (dp, hp, wp), 2)
 
     z0 = (jnp.arange(gz, dtype=jnp.float32) + 0.5) * sz - 0.5
     y0 = (jnp.arange(gy, dtype=jnp.float32) + 0.5) * sy - 0.5
@@ -85,19 +81,56 @@ def slic3d_segment(volume, cfg: Slic3DConfig, compactness, n_iter=10):
     centers0 = jnp.stack([init_val, zz, yy, xx], axis=-1)   # (gz,gy,gx,4)
 
     # spatial normalisation: physical distance relative to nominal size
-    nominal = float(max(sz * cfg.spacing[0], sy * cfg.spacing[1], sx * cfg.spacing[2]))
+    nominal = float(max(sz * cfg.spacing[0], sy * cfg.spacing[1],
+                        sx * cfg.spacing[2]))
     sw = 1.0 / nominal ** 2
-    m2 = jnp.asarray(compactness, jnp.float32) ** 2
+    return vol_p, valid, centers0, sw
 
+
+def _use_pallas_3d() -> bool:
     import os
     from pyimsegm_tpu.ops.slic import _pallas_available
     # opt-in until the kernel is validated on a live chip
     # (PYIMSEGM_SLIC3D_PALLAS=1)
-    if _pallas_available() \
-            and os.environ.get('PYIMSEGM_SLIC3D_PALLAS', '0') == '1':
-        from pyimsegm_tpu.ops.slic3d_pallas import slic3d_iterate_pallas
-        scales = space * jnp.sqrt(sw * m2)
-        return slic3d_iterate_pallas(vol_p, centers0, scales, cfg, n_iter)
+    return (_pallas_available()
+            and os.environ.get('PYIMSEGM_SLIC3D_PALLAS', '0') == '1')
+
+
+def slic3d_segment(volume, cfg: Slic3DConfig, compactness, n_iter=10):
+    """Supervoxel labels (Z, H, W) int32 in [0, K).
+
+    Backend dispatch (XLA vs Pallas kernel) happens HERE, at call time and
+    outside any jit trace, so each backend owns its own jit cache and
+    flipping ``PYIMSEGM_SLIC3D_PALLAS`` between calls takes effect.
+    """
+    if _use_pallas_3d():
+        return _slic3d_segment_pallas(volume, cfg, compactness, n_iter)
+    return _slic3d_segment_xla(volume, cfg, compactness, n_iter)
+
+
+@functools.partial(jax.jit, static_argnames=('cfg', 'n_iter'))
+def _slic3d_segment_pallas(volume, cfg: Slic3DConfig, compactness,
+                           n_iter=10):
+    from pyimsegm_tpu.ops.slic3d_pallas import slic3d_iterate_pallas
+    vol_p, _valid, centers0, sw = _prep3d(volume, cfg)
+    m2 = jnp.asarray(compactness, jnp.float32) ** 2
+    scales = jnp.asarray(cfg.spacing, jnp.float32) * jnp.sqrt(sw * m2)
+    return slic3d_iterate_pallas(vol_p, centers0, scales, cfg, n_iter)
+
+
+@functools.partial(jax.jit, static_argnames=('cfg', 'n_iter'))
+def _slic3d_segment_xla(volume, cfg: Slic3DConfig, compactness, n_iter=10):
+    z, h, w = cfg.shape
+    gz, gy, gx = cfg.grid
+    sz, sy, sx = cfg.steps
+    vol_p, valid, centers0, sw = _prep3d(volume, cfg)
+    m2 = jnp.asarray(compactness, jnp.float32) ** 2
+    dp, hp, wp = cfg.pad
+
+    space = jnp.asarray(cfg.spacing, jnp.float32)
+    cz = jax.lax.broadcasted_iota(jnp.float32, (dp, hp, wp), 0)
+    cy = jax.lax.broadcasted_iota(jnp.float32, (dp, hp, wp), 1)
+    cx = jax.lax.broadcasted_iota(jnp.float32, (dp, hp, wp), 2)
 
     offsets = [(a, b, c) for a in (-1, 0, 1) for b in (-1, 0, 1) for c in (-1, 0, 1)]
 

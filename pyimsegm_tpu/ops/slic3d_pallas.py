@@ -40,8 +40,11 @@ def _slic3d_pass_kernel(vol_ref, c6_ref, scale_ref, *out_refs,
     """One pass for one (z-tile, y-tile-row) slab.
 
     vol_ref:   (1, 1, sz*sy, wp) slab voxel values (z-major rows)
-    c6_ref:    (3, 3, 6, gx) candidate center planes (z, y neighbourhoods
-               of this slab, sentinel-padded outside the grid):
+    c6_ref:    (gz+2, gy+2, 6, gx) ALL candidate center planes
+               (sentinel-padded outside the grid); the program slices its
+               sliding (3, 3) z/y window in-kernel with ``pl.ds`` — a
+               blocked (3, 3, ...) BlockSpec would step by 3 planes per
+               program instead of 1.
                rows [v, s_z*cz, s_y*cy, s_x*cx, |c|^2/2, 0]
     scale_ref: (1, 3) SMEM (s_z, s_y, s_x) — spacing * sqrt(sw * m^2)
     out_refs:  want_labels: labels (1, 1, sz*sy, wp) int32
@@ -82,9 +85,10 @@ def _slic3d_pass_kernel(vol_ref, c6_ref, scale_ref, *out_refs,
          jnp.full((1, 1), _SENT, jnp.float32),
          jnp.zeros((1, 1), jnp.float32)], axis=0)        # (6, 1)
     pad2 = jnp.zeros((2, gx), jnp.float32)
+    cwin = c6_ref[pl.ds(i, 3), pl.ds(j, 3)]              # (3, 3, 6, gx)
     stacked = []
     for dz, dy, dx in _OFFSETS3:
-        row = c6_ref[dz + 1, dy + 1, :, :]               # (6, gx)
+        row = cwin[dz + 1, dy + 1, :, :]                 # (6, gx)
         if dx == -1:
             row = jnp.concatenate([sent_col, row[:, :-1]], axis=1)
         elif dx == 1:
@@ -183,7 +187,7 @@ def _pass3d(vol4, centers, scales, cfg: Slic3DConfig, want_labels):
         in_specs=[
             pl.BlockSpec((1, 1, sz * sy, wp), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 3, 6, gx), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((gz + 2, gy + 2, 6, gx), lambda i, j: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),

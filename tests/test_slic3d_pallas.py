@@ -4,6 +4,11 @@ The kernel logic is validated on every platform through the Pallas
 interpreter (exact agreement expected — both paths share formulas and
 iteration order); Mosaic-compiled execution is covered on a live chip via
 ``PYIMSEGM_TEST_TPU=1`` + ``PYIMSEGM_SLIC3D_PALLAS=1``.
+
+Each helper run clears the jit caches and counts ``pallas_call``
+invocations, so a jit-cache hit on the XLA path can never masquerade as a
+passing kernel-parity test (that is exactly how a broken kernel "passed"
+in round 1).
 """
 
 import os
@@ -17,25 +22,30 @@ import jax.numpy as jnp
 
 
 def _labels_pallas(vol, cfg, m, interpret):
+    """Run slic3d_segment on the Pallas backend, asserting it executed."""
     from pyimsegm_tpu.ops import slic3d
     from pyimsegm_tpu.ops import slic3d_pallas as sp3
     from jax.experimental import pallas as pl
 
     orig_call = pl.pallas_call
+    n_calls = [0]
 
-    def interp_call(*a, **k):
-        k['interpret'] = True
+    def counting_call(*a, **k):
+        n_calls[0] += 1
+        if interpret:
+            k['interpret'] = True
         return orig_call(*a, **k)
 
-    patches = [mock.patch.dict(os.environ, {'PYIMSEGM_SLIC3D_PALLAS': '1'}),
-               mock.patch('pyimsegm_tpu.ops.slic._pallas_available',
-                          lambda: True)]
-    if interpret:
-        patches.append(mock.patch.object(sp3.pl, 'pallas_call', interp_call))
-    with patches[0], patches[1], (patches[2] if interpret
-                                  else mock.patch.object(sp3, '_SENT',
-                                                         sp3._SENT)):
-        return np.asarray(slic3d.slic3d_segment(vol, cfg, m))
+    # fresh trace: a previous XLA- or Pallas-path compile of the same
+    # shapes must not short-circuit this run
+    jax.clear_caches()
+    with mock.patch.dict(os.environ, {'PYIMSEGM_SLIC3D_PALLAS': '1'}), \
+            mock.patch('pyimsegm_tpu.ops.slic._pallas_available',
+                       lambda: True), \
+            mock.patch.object(sp3.pl, 'pallas_call', counting_call):
+        out = np.asarray(slic3d.slic3d_segment(vol, cfg, m))
+    assert n_calls[0] > 0, 'Pallas path was never executed (vacuous test)'
+    return out
 
 
 @pytest.mark.parametrize('spacing', [(1, 1, 1), (2, 1, 1)])
