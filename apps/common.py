@@ -70,15 +70,36 @@ def parse_arg_params(parser, params):
             continue
         if not os.path.exists(p):
             raise FileNotFoundError('missing: (%s) "%s"' % (k, p))
-    arg_defaults = {a.dest: a.default for a in parser._actions}
-    explicit = {k: v for k, v in args.items()
-                if v is not None and ('path' in k
-                                      or arg_defaults.get(k) != v)}
+    # a flag only outranks the YAML config when the user actually typed it —
+    # detected from sys.argv, NOT by comparing values to argparse defaults
+    # (an explicit flag equal to its default would otherwise lose to YAML,
+    # and path flags with non-None defaults would always clobber YAML)
+    typed = _typed_cli_dests(parser)
+    explicit = {k: v for k, v in args.items() if k in typed and v is not None}
     params.update({k: v for k, v in args.items() if v is not None})
     if os.path.isfile(args.get('path_config') or ''):
         params.update(load_config_yaml(args['path_config']))
     params.update(explicit)
     return params
+
+
+def _typed_cli_dests(parser, argv=None):
+    """Dests of the options actually present on the command line.
+
+    Handles ``--flag value``, ``--flag=value`` and unambiguous argparse
+    prefix abbreviations of long options.
+    """
+    import sys
+    argv = sys.argv[1:] if argv is None else argv
+    tokens = {t.split('=', 1)[0] for t in argv if t.startswith('-')}
+    dests = set()
+    for action in parser._actions:
+        for opt in action.option_strings:
+            if opt in tokens or any(
+                    opt.startswith(t) and len(t) > 2 for t in tokens):
+                dests.add(action.dest)
+                break
+    return dests
 
 
 def setup_experiment(params, name_experiment, stamp_unique=False):
