@@ -157,16 +157,19 @@ def image_inpaint_pixels(img, valid_mask):
 
 
 def quantize_image_nearest_pixel(img, colors):
-    """Quantize exact-colour pixels, inpaint the rest from nearest matches
-    (`annotation.py:292-320`)."""
+    """Snap pixels that exactly hit a palette colour, then spread those
+    labels to all remaining pixels by nearest spatial neighbour
+    (reference behaviour: `annotation.py:292-320`).
+    """
     img = np.asarray(img)
-    labels = np.full(img.shape[:-1], np.nan)
-    for i, clr in enumerate(colors):
-        diff = np.sum(np.abs(img - np.asarray(clr)[None, None, :]), axis=-1)
-        labels[diff == 0] = i
-    valid_mask = ~np.isnan(labels)
-    labels_inpaint = image_inpaint_pixels(labels, valid_mask).astype(int)
-    return np.asarray(list(colors))[labels_inpaint]
+    palette = np.asarray(list(colors))
+    # (N, H, W) exact-hit volume over the whole palette at once
+    hits = (img[None] == palette[:, None, None, :]).all(axis=-1)
+    matched = hits.any(axis=0)
+    labels = hits.argmax(axis=0).astype(float)
+    labels[~matched] = np.nan
+    filled = image_inpaint_pixels(labels, matched).astype(int)
+    return palette[filled]
 
 
 def load_info_group_by_slices(path_txt, stages,

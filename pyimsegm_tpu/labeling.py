@@ -120,56 +120,79 @@ def compute_labels_overlap_matrix(seg1, seg2):
 
 
 def relabel_max_overlap_unique(seg_ref, seg_relabel, keep_bg=False):
-    """1-1 greedy max-overlap relabeling (`labeling.py:526-614`)."""
+    """Rename ``seg_relabel`` labels so each takes the reference label it
+    overlaps most, 1-1 (no two input labels may claim the same reference
+    label; greedy by descending overlap, same policy as `labeling.py:526`).
+
+    Input labels left without a reference partner keep their own id when
+    still free, otherwise they get an arbitrary unclaimed id.
+    """
+    seg_ref = np.asarray(seg_ref)
+    seg_relabel = np.asarray(seg_relabel)
     if seg_ref.shape != seg_relabel.shape:
-        raise ImageDimensionError('Reference segm. %r and input segm. %r should match'
-                                  % (seg_ref.shape, seg_relabel.shape))
+        raise ImageDimensionError(
+            'segmentation shapes differ: reference %r, input %r'
+            % (seg_ref.shape, seg_relabel.shape))
     overlap = compute_labels_overlap_matrix(seg_ref, seg_relabel)
-    lut = [-1] * (int(np.max(seg_relabel)) + 1)
+    n_in = int(seg_relabel.max()) + 1
+    lut = np.full(n_in, -1, dtype=int)
     if keep_bg:
         lut[0] = 0
         overlap[0, :] = 0
         overlap[:, 0] = 0
-    for _ in range(max(overlap.shape) + 1):
-        if overlap.sum() == 0:
+
+    # greedy matching == visiting overlap cells largest-first and pairing
+    # whenever both sides are still free (ties broken by row-major index,
+    # like repeated argmax would)
+    flat = overlap.ravel()
+    ref_free = np.ones(overlap.shape[0], dtype=bool)
+    if keep_bg:
+        ref_free[0] = False
+    for cell in np.lexsort((np.arange(flat.size), -flat)):
+        if flat[cell] == 0:
             break
-        lb_ref, lb_est = np.argwhere(overlap == overlap.max())[0]
-        lut[lb_est] = lb_ref
-        overlap[lb_ref, :] = 0
-        overlap[:, lb_est] = 0
-    for i, lb in enumerate(lut):
-        if lb == -1 and i not in lut:
-            lut[i] = i
-    for i, lb in enumerate(lut):
-        if lb > -1:
-            continue
-        for j in range(len(lut)):
-            if j not in lut:
-                lut[i] = j
-    seg_new = np.array(lut)[seg_relabel].astype(int)
-    seg_new[seg_relabel < 0] = seg_relabel[seg_relabel < 0]
-    return seg_new
+        rr, ee = divmod(cell, overlap.shape[1])
+        if ref_free[rr] and ee < n_in and lut[ee] < 0:
+            lut[ee] = rr
+            ref_free[rr] = False
+
+    # leftovers: identity where the own id is unclaimed...
+    claimed = set(lut[lut >= 0].tolist())
+    for ee in np.flatnonzero(lut < 0):
+        if ee not in claimed:
+            lut[ee] = ee
+            claimed.add(ee)
+    # ...then any unclaimed ids for the rest
+    spare = (i for i in range(2 * n_in) if i not in claimed)
+    for ee in np.flatnonzero(lut < 0):
+        lut[ee] = next(spare)
+
+    seg_new = lut[seg_relabel]
+    return np.where(seg_relabel < 0, seg_relabel, seg_new)
 
 
 def relabel_max_overlap_merge(seg_ref, seg_relabel, keep_bg=False):
-    """Merging max-overlap relabeling (`labeling.py:617-681`)."""
+    """Rename every ``seg_relabel`` label to its best-overlapping reference
+    label, allowing many-to-one merges (`labeling.py:617-681` semantics).
+
+    Input labels that overlap nothing in the reference keep their own id.
+    """
+    seg_ref = np.asarray(seg_ref)
+    seg_relabel = np.asarray(seg_relabel)
     if seg_ref.shape != seg_relabel.shape:
-        raise ImageDimensionError('Ref. segm %r and segm %r should match'
-                                  % (seg_ref.shape, seg_relabel.shape))
+        raise ImageDimensionError(
+            'segmentation shapes differ: reference %r, input %r'
+            % (seg_ref.shape, seg_relabel.shape))
     overlap = compute_labels_overlap_matrix(seg_ref, seg_relabel)
-    max_axis = 1 if overlap.shape[0] > overlap.shape[1] else 0
     if keep_bg:
-        id_max = np.argmax(overlap[1:, 1:], axis=max_axis) + 1
-        lut = np.array([0] + id_max.tolist())
+        # background is pinned; other labels choose among nonzero refs only
+        lut = np.concatenate([[0], overlap[1:, 1:].argmax(axis=0) + 1])
     else:
-        lut = np.argmax(overlap, axis=max_axis)
-    ptn_sum = np.sum(overlap, axis=0)
-    if 0 in ptn_sum:
-        lut = np.asarray(lut)
-        lut[ptn_sum == 0] = np.arange(len(lut))[ptn_sum == 0]
-    seg_new = np.asarray(lut)[seg_relabel].astype(int)
-    seg_new[seg_relabel < 0] = seg_relabel[seg_relabel < 0]
-    return seg_new
+        lut = overlap.argmax(axis=0)
+    untouched = overlap.sum(axis=0) == 0
+    lut = np.where(untouched, np.arange(lut.size), lut)
+    seg_new = lut[seg_relabel]
+    return np.where(seg_relabel < 0, seg_relabel, seg_new)
 
 
 def find_boundaries(segm):

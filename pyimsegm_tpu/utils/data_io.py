@@ -357,41 +357,54 @@ def merge_image_channels(img_ch1, img_ch2, img_ch3=None):
     return np.rollaxis(np.array([img_ch1, img_ch2, img_ch3]), 0, 3)
 
 
+def _wildcard_stem(path, pattern):
+    """The part of ``path``'s basename that the ``*`` wildcards of
+    ``pattern`` matched: strip the pattern's literal fragments."""
+    stem = os.path.splitext(os.path.basename(path))[0]
+    for literal in os.path.basename(pattern).split('*'):
+        if literal:
+            stem = stem.replace(literal, '')
+    return stem
+
+
 def find_files_match_names_across_dirs(list_path_pattern, drop_none=True):
-    """Pair files with equal basenames across directories
-    (`data_io.py:930-999`); returns a DataFrame with path_1..path_N."""
+    """Join files across several glob patterns by their wildcard-matched
+    name fragment (reference behaviour: `data_io.py:930-999`).
+
+    The first pattern anchors the row order; every later pattern fills its
+    column by stem lookup into the anchor rows.
+
+    :returns: DataFrame with columns path_1..path_N, one row per anchor
+        file (rows with any unmatched column dropped unless ``drop_none``
+        is False)
+    """
     import pandas as pd
-    list_path_pattern = [pp for pp in list_path_pattern if pp is not None]
-    if len(list_path_pattern) <= 1:
-        raise ValueError('at least 2 paths required')
-    for p in list_path_pattern:
-        if not os.path.exists(os.path.dirname(p)):
-            raise FileNotFoundError('missing "%s"' % os.path.dirname(p))
+    patterns = [p for p in list_path_pattern if p is not None]
+    if len(patterns) < 2:
+        raise ValueError(
+            'need two or more glob patterns to pair files, got %d'
+            % len(patterns))
+    absent = [os.path.dirname(p) for p in patterns
+              if not os.path.exists(os.path.dirname(p))]
+    if absent:
+        raise FileNotFoundError('directories do not exist: %r' % absent)
 
-    def _get_name(path, pattern='*'):
-        name = os.path.splitext(os.path.basename(path))[0]
-        for s in pattern.split('*'):
-            name = name.replace(s, '')
-        return name
+    anchor = sorted(glob.glob(patterns[0]))
+    rows = [[p] + [None] * (len(patterns) - 1) for p in anchor]
+    row_of_stem = {}
+    for idx, p in enumerate(anchor):
+        row_of_stem.setdefault(_wildcard_stem(p, patterns[0]), idx)
+    for col, pattern in enumerate(patterns[1:], start=1):
+        for path in glob.glob(pattern):
+            idx = row_of_stem.get(_wildcard_stem(path, pattern))
+            if idx is not None:
+                rows[idx][col] = path
+    if not rows:
+        rows = [[None] * len(patterns)]
 
-    paths_0 = sorted(glob.glob(list_path_pattern[0])) or [None]
-    names_0 = [(_get_name(p, os.path.basename(list_path_pattern[0]))
-                if p else None) for p in paths_0]
-    list_paths = [paths_0]
-    for path_pattern_n in list_path_pattern[1:]:
-        paths_n = [None] * len(paths_0)
-        name_pattern = os.path.basename(path_pattern_n)
-        for path_n in glob.glob(path_pattern_n):
-            name_n = _get_name(path_n, name_pattern)
-            if name_n in names_0:
-                paths_n[names_0.index(name_n)] = path_n
-        list_paths.append(paths_n)
-
-    col_names = ['path_%i' % (i + 1) for i in range(len(list_paths))]
-    df_paths = pd.DataFrame(list(zip(*list_paths)), columns=col_names)
-    if drop_none:
-        df_paths = df_paths.dropna()
-    return df_paths
+    df_paths = pd.DataFrame(
+        rows, columns=['path_%i' % (i + 1) for i in range(len(patterns))])
+    return df_paths.dropna() if drop_none else df_paths
 
 
 # ------------------------------------------------------------ object crop ---

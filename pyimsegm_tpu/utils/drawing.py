@@ -144,19 +144,20 @@ def merge_object_masks(masks, overlap_thr=0.7):
     >>> int(merge_object_masks([m1, m2])[4, 5])
     2
     """
-    if len(masks) <= 0:
+    if not len(masks):
         raise ValueError('no masks are given')
-    mask = np.array(masks[0])
-    for i in range(1, len(masks)):
-        ratios = []
-        for j in range(1, int(np.max(mask) + 1)):
-            overlap = np.sum((mask == j) & (masks[i] == 1))
-            union = np.sum((mask == j) | (masks[i] == 1))
-            ratios.append(float(overlap) / max(float(union), 1.0))
-        if any(r > overlap_thr for r in ratios):
-            continue
-        mask[np.asarray(masks[i]) == 1] = np.max(mask) + 1
-    return mask
+    inst = np.array(masks[0], dtype=int)
+    for cand in masks[1:]:
+        cand = np.asarray(cand) == 1
+        n_obj = int(inst.max())
+        # IoU against every existing instance at once (one-hot planes)
+        planes = inst[None] == np.arange(1, n_obj + 1)[:, None, None]
+        inter = (planes & cand).sum(axis=(1, 2))
+        union = (planes | cand).sum(axis=(1, 2))
+        iou = inter / np.maximum(union, 1)
+        if not (iou > overlap_thr).any():
+            inst[cand] = n_obj + 1
+    return inst
 
 
 # --------------------------------------------------------------- overlays ---
