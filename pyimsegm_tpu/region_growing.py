@@ -831,9 +831,13 @@ def region_growing_shape_slic_graphcut(
         unary[rows] = GC_REPLACE_INF
         unary[rows, labels[rows]] = 0.0
         unary[unary < min_unary] = min_unary
+        # light expansion settings: the outer RG loop re-solves this band
+        # subgraph every iteration, so per-solve polish matters less than
+        # wall time
         out = solve_mrf(jnp.asarray(unary, jnp.float32), edges_j,
                         jnp.asarray(edge_w, jnp.float32),
-                        jnp.asarray(pairwise, jnp.float32))
+                        jnp.asarray(pairwise, jnp.float32),
+                        n_expand_rounds=3, n_chains=2)
         return np.asarray(out).astype(int)
 
     for _ in range(nb_iter):
@@ -1031,10 +1035,12 @@ def object_segmentation_graphcut_pixels(
     if np.isscalar(gc_regul) and gc_regul <= 0:
         segm_obj = np.argmin(unary, axis=-1).astype(np.int32)
     else:
+        # pixel-scale graph (H*W nodes): fewer/cheaper expansion chains
         out = solve_mrf(
             jnp.asarray(unary.reshape(-1, nb_cls), jnp.float32),
             jnp.asarray(edges), jnp.ones(len(edges), jnp.float32),
-            jnp.asarray(pairwise, jnp.float32))
+            jnp.asarray(pairwise, jnp.float32),
+            n_expand_rounds=4, n_chains=2)
         segm_obj = np.asarray(out).reshape(height, width).astype(np.int32)
 
     if debug_visual is not None:

@@ -102,6 +102,31 @@ def test_mrf_energy_not_worse_than_argmin():
     assert float(e_solved) <= float(e_argmin) + 1e-3
 
 
+def test_mrf_energy_close_to_exact_oracle():
+    """On adversarial dense random graphs (E/K = 3, uniform random unaries
+    and weights — far worse separated than pipeline graphs) the device
+    solver's energy must stay within 1% of the exact C++ alpha-expansion
+    oracle (reference behaviour: `graph_cuts.py:735-744`)."""
+    from pyimsegm_tpu import native
+    rng = np.random.default_rng(7)
+    gaps = []
+    for _ in range(3):
+        k, c = 300, 4
+        edges = rng.integers(0, k, size=(3 * k, 2)).astype(np.int32)
+        edges = edges[edges[:, 0] != edges[:, 1]]
+        weights = rng.uniform(0.1, 2.0, size=len(edges)).astype(np.float32)
+        unary = rng.uniform(0, 3, size=(k, c)).astype(np.float32)
+        pairwise = np.float32(graphcut.create_pairwise_matrix_uniform(1.0, c))
+        _, e_exact = native.alpha_expansion(edges, weights, unary, pairwise)
+        lab = graphcut.solve_mrf(jnp.asarray(unary), jnp.asarray(edges),
+                                 jnp.asarray(weights), jnp.asarray(pairwise))
+        e_dev = float(graphcut.mrf_energy(
+            lab, jnp.asarray(unary), jnp.asarray(edges),
+            jnp.asarray(weights), jnp.asarray(pairwise)))
+        gaps.append((e_dev - e_exact) / e_exact)
+    assert max(gaps) < 0.01, gaps
+
+
 @pytest.mark.parametrize('edge_type', ['', 'spatial', 'color', 'features', 'model'])
 def test_edge_weight_types(edge_type):
     rng = np.random.default_rng(3)
