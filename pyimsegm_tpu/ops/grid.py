@@ -161,6 +161,133 @@ def grid_segment_count(labels, cfg: SlicConfig):
     return grid_segment_sum(ones, labels, cfg)[:, 0]
 
 
+def _shift_img(arr, di, dj, fill):
+    """Shift an (H, W) image so pixel (y, x) moves to (y+di, x+dj), filling
+    vacated cells with ``fill``; pure pad+slice."""
+    h, w = arr.shape
+    padded = jnp.pad(arr, ((max(di, 0), max(-di, 0)),
+                           (max(dj, 0), max(-dj, 0))), constant_values=fill)
+    return padded[max(-di, 0):max(-di, 0) + h, max(-dj, 0):max(-dj, 0) + w]
+
+
+_CONN4 = ((-1, 0), (1, 0), (0, -1), (0, 1))
+
+
+def grid_segment_min(value, labels, cfg: SlicConfig):
+    """(K,) per-superpixel minimum of a (H, W) float map, scatter-free:
+    nine masked dense tile min-reductions + nine grid shifts (the min analog
+    of :func:`grid_segment_sum`; empty superpixels get +inf)."""
+    gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
+    value_p = _pad_to_grid(value, cfg, fill=jnp.inf)
+    labels_p = _pad_to_grid(labels, cfg, fill=-2)
+    hp, wp = labels_p.shape
+    tile_y = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0) // step
+    tile_x = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1) // step
+    dy = labels_p // gw - tile_y + 1
+    dx = labels_p % gw - tile_x + 1
+    valid = (labels_p >= 0) & (dy >= 0) & (dy < 3) & (dx >= 0) & (dx < 3)
+    off = jnp.where(valid, dy * 3 + dx, -1)
+    out = jnp.full((gh, gw), jnp.inf, jnp.float32)
+    for idx, (di, dj) in enumerate(_OFFSETS):
+        part = jnp.where(off == idx, value_p, jnp.inf) \
+            .reshape(gh, step, gw, step).min(axis=(1, 3))
+        out = jnp.minimum(out, _shift_img(part, di, dj, jnp.inf))
+    return out.reshape(gh * gw)
+
+
+def enforce_grid_connectivity(labels, cfg: SlicConfig):
+    """Make every superpixel a single 4-connected region, on device.
+
+    The reference always runs skimage SLIC with ``enforce_connectivity=True``
+    (`/root/reference/imsegm/superpixels.py:61-63`), which merges detached
+    fragments into adjacent superpixels.  This is the jit-friendly analog:
+
+    1. *anchor* each superpixel at the pixel nearest its centroid (skipped —
+       all its pixels pass as reached — in the rare case the rounded centroid
+       falls outside the superpixel, e.g. a crescent shape);
+    2. *reach*: iterated 4-neighbour propagation of "connected to my anchor"
+       restricted to same-label pixels (``lax.while_loop`` with early exit,
+       geodesic-diameter many cheap elementwise steps);
+    3. *absorb*: unreached pixels (detached fragments) repeatedly take the
+       label of an adjacent reached pixel — but only when that label lies in
+       the pixel's own 3x3 seed window, so the grid-structure invariant every
+       scatter-free op in this module relies on is preserved by construction
+       (a fragment whose surroundings all violate the window keeps its label
+       rather than corrupt the grid ops; vanishingly rare).
+
+    Unlike skimage, which *splits* large detached components into brand-new
+    superpixels, fragments here are always merged (K is static); with SLIC's
+    spatial term large detached fragments do not occur in practice.
+
+    :param labels: (H, W) int32 grid-structured SLIC labels
+    :returns: (H, W) int32 labels, connected per superpixel
+    """
+    h, w = labels.shape
+    gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
+    labels = labels.astype(jnp.int32)
+
+    # anchors: the pixel(s) of each superpixel nearest its centroid — the
+    # min is taken *within* the superpixel (scatter-free segment-min), so an
+    # anchor always exists inside it, even for crescent shapes whose rounded
+    # centroid falls outside
+    py = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    px = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    coords = jnp.stack([jnp.ones((h, w), jnp.float32), py, px], axis=-1)
+    sums = grid_segment_sum(coords, labels, cfg)
+    safe = jnp.maximum(sums[:, 0:1], 1.0)
+    cyx = sums[:, 1:3] / safe                       # (K, 2) centroids
+    cpix = grid_lookup(cyx, labels, cfg)            # per-pixel own centroid
+    d2 = (py - cpix[..., 0]) ** 2 + (px - cpix[..., 1]) ** 2
+    d2min = grid_segment_min(d2, labels, cfg)       # (K,)
+    reached0 = d2 <= grid_lookup(d2min, labels, cfg) + 1e-3
+
+    def prop(reached):
+        for di, dj in _CONN4:
+            same = _shift_img(labels, di, dj, -1) == labels
+            reached = reached | (_shift_img(reached, di, dj, False) & same)
+        return reached
+
+    def reach_cond(state):
+        _, changed, it = state
+        return changed & (it < 4 * step)
+
+    def reach_body(state):
+        reached, _, it = state
+        new = prop(reached)
+        return new, jnp.any(new != reached), it + 1
+
+    reached, _, _ = jax.lax.while_loop(
+        reach_cond, reach_body, (reached0, jnp.bool_(True), 0))
+
+    # absorb detached fragments into adjacent reached superpixels
+    ty = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) // step
+    tx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) // step
+
+    def absorb_body(state):
+        labels, reached, _, it = state
+
+        got = reached
+        best = labels
+        for di, dj in _CONN4:
+            nl = _shift_img(labels, di, dj, -1)
+            nr = _shift_img(reached, di, dj, False)
+            in_window = (jnp.abs(nl // gw - ty) <= 1) \
+                & (jnp.abs(nl % gw - tx) <= 1) & (nl >= 0)
+            take = nr & ~got & in_window
+            best = jnp.where(take, nl, best)
+            got = got | take
+        new_labels = jnp.where(got, best, labels)
+        return new_labels, got, jnp.any(got != reached), it + 1
+
+    def absorb_cond(state):
+        _, _, changed, it = state
+        return changed & (it < 2 * step)
+
+    labels, _, _, _ = jax.lax.while_loop(
+        absorb_cond, absorb_body, (labels, reached, jnp.bool_(True), 0))
+    return labels
+
+
 # ------------------------------------------------------ dense grid graph ---
 #
 # Superpixel adjacency as a dense (gh, gw, 25) tensor: channel d encodes the

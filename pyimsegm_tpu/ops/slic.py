@@ -425,7 +425,7 @@ def _slic_segment_xla(image, cfg: SlicConfig, compactness,
 
 
 def segment_slic_img2d(img, sp_size=50, relative_compact=0.1, slico=False,
-                       n_iter=DEFAULT_SLIC_ITERS, enforce_connectivity=False):
+                       n_iter=DEFAULT_SLIC_ITERS, enforce_connectivity=True):
     """Host-level convenience mirroring the reference API
     (`/root/reference/imsegm/superpixels.py:22`): returns an int32 numpy label
     map of shape ``img.shape[:2]``.
@@ -433,8 +433,12 @@ def segment_slic_img2d(img, sp_size=50, relative_compact=0.1, slico=False,
     img = np.asarray(img)
     cfg = slic_config(img.shape[0], img.shape[1], sp_size)
     m = compactness_from_regul(sp_size, relative_compact)
-    labels = np.asarray(slic_segment(jnp.asarray(img), cfg, m, n_iter=n_iter, slico=slico))
+    labels = slic_segment(jnp.asarray(img), cfg, m, n_iter=n_iter, slico=slico)
     if enforce_connectivity:
-        from pyimsegm_tpu import native
-        labels = native.enforce_connectivity(labels, min_size=max(4, sp_size * sp_size // 16))
-    return labels
+        # merge-only device pass: single-component superpixels with stable
+        # grid ids (reference always enforces, `superpixels.py:61-63`; the
+        # native union-find with skimage-style fresh relabeling remains
+        # available as pyimsegm_tpu.native.enforce_connectivity)
+        from pyimsegm_tpu.ops.grid import enforce_grid_connectivity
+        labels = enforce_grid_connectivity(labels, cfg)
+    return np.asarray(labels)

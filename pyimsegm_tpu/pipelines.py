@@ -55,12 +55,48 @@ def _fusable_color_spec(feats_spec):
 
 @functools.partial(
     jax.jit,
-    static_argnames=('cfg', 'feats_spec', 'slico', 'n_iter'))
+    static_argnames=('cfg', 'feats_spec', 'slico', 'n_iter', 'connectivity'))
 def _slic_features_core(image, cfg, feats_spec, compactness,
-                        slico=False, n_iter=slic_ops.DEFAULT_SLIC_ITERS):
+                        slico=False, n_iter=slic_ops.DEFAULT_SLIC_ITERS,
+                        connectivity=True):
     fuse_key = None if (slico or jnp.ndim(image) != 3) \
         else _fusable_color_spec(feats_spec)
-    if slico:
+    if connectivity:
+        # reference semantics: superpixels are always connected
+        # (`superpixels.py:61-63` enforce_connectivity=True); the device
+        # enforcement pass replaces the fused final-assignment shortcut, so
+        # geometry/moments are re-reduced from the enforced labels
+        from pyimsegm_tpu.ops import grid as grid_ops
+        labels = slic_ops.slic_segment(image, cfg, compactness,
+                                       n_iter=n_iter, slico=slico)
+        labels = grid_ops.enforce_grid_connectivity(labels, cfg)
+        if fuse_key is not None:
+            from pyimsegm_tpu.ops import color as color_ops
+            img_f = jnp.asarray(image, jnp.float32)
+            feat_img = (color_ops.convert_img_color_from_rgb(
+                img_f, fuse_key.split('_')[-1]) if '_' in fuse_key else img_f)
+            h, w = labels.shape
+            data = jnp.concatenate(
+                [feat_img, feat_img * feat_img,
+                 jnp.ones((h, w, 1), jnp.float32),
+                 jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)[..., None],
+                 jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)[..., None]],
+                axis=-1)
+            sums = grid_ops.grid_segment_sum(data, labels, cfg)
+            counts = sums[:, 6]
+            safe = jnp.maximum(counts[:, None], 1.0)
+            centers = sums[:, 7:9] / safe
+            mean = sums[:, :3] / safe
+            energy = sums[:, 3:6] / safe
+            flags = dict(feats_spec)[fuse_key]
+            blocks = {'mean': mean,
+                      'std': jnp.sqrt(jnp.maximum(energy - mean * mean, 0.0)),
+                      'energy': energy}
+            features = jnp.concatenate(
+                [blocks[f] for f in _MOMENT_FLAGS if f in flags], axis=-1)
+            return labels, features, counts, centers
+        counts, centers = _grid_geometry(labels, cfg)
+    elif slico:
         labels = slic_ops.slic_segment(image, cfg, compactness,
                                        n_iter=n_iter, slico=True)
         counts, centers = _grid_geometry(labels, cfg)

@@ -88,3 +88,30 @@ def test_slic_upsamples_pixel_labels_consistently():
             lut[lb] = np.bincount(seg[sel]).argmax()
     recon = lut[labels]
     assert adjusted_rand_score(recon, seg) > 0.9
+
+
+def test_enforce_grid_connectivity_device():
+    """Device enforcement must yield single-component superpixels while
+    preserving the 3x3-tile grid guarantee (reference semantics:
+    skimage ``enforce_connectivity=True``, `superpixels.py:61-63`)."""
+    from scipy import ndimage
+    import jax.numpy as jnp
+    from pyimsegm_tpu.ops import grid as grid_ops
+
+    img = data_samples.load_sample_image()[:300, :400]
+    cfg = slic_ops.slic_config(img.shape[0], img.shape[1], 25)
+    m = slic_ops.compactness_from_regul(25, 0.2)
+    raw = np.asarray(slic_ops.slic_segment(jnp.asarray(img), cfg, m))
+    enforced = np.asarray(grid_ops.enforce_grid_connectivity(
+        jnp.asarray(raw), cfg))
+
+    n_multi = sum(ndimage.label(enforced == lb)[1] > 1
+                  for lb in np.unique(enforced))
+    assert n_multi == 0
+    # grid guarantee: every label inside its pixel's 3x3 seed window
+    ty = np.arange(img.shape[0])[:, None] // cfg.step
+    tx = np.arange(img.shape[1])[None, :] // cfg.step
+    assert (np.abs(enforced // cfg.grid_w - ty) <= 1).all()
+    assert (np.abs(enforced % cfg.grid_w - tx) <= 1).all()
+    # enforcement only relabels fragments — the bulk of pixels is unchanged
+    assert (raw == enforced).mean() > 0.95
