@@ -359,8 +359,13 @@ def grid_adjacency(labels, cfg: SlicConfig):
     adj = jnp.zeros((gh, gw, 25), jnp.float32)
     for idx, (di, dj) in enumerate(_OFFSETS):
         adj = adj + _shift2d(cnt9[:, :, idx], di, dj)
-    adj = (adj > 0).astype(jnp.float32)
+    return _sym_mask_adjacency(adj, gh, gw)
 
+
+def _sym_mask_adjacency(adj, gh, gw):
+    """Symmetrize raw pair-count channels into a 0/1 adjacency and zero
+    out-of-range / self channels (shared by the sharded builder)."""
+    adj = (adj > 0).astype(jnp.float32)
     # symmetrize: edge (a, d) implies (a+d, -d); partner[y,x,d] = adj at grid
     # cell (y+dy, x+dx), flipped channel
     perm = _flip_channel_perm()

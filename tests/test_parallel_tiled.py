@@ -31,3 +31,61 @@ def test_sharded_slic_matches_single_device(rng):
     # identical math up to psum reduction order -> near-perfect agreement
     assert agree > 0.995, (agree, float(ars))
     assert float(ars) > 0.99
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 virtual devices')
+def test_tiled_full_pipeline_sharded_vs_unsharded(rng):
+    """SLIC -> connectivity -> features -> GMM -> edge weights -> MRF over an
+    8-device mesh must reproduce the same tiled pipeline on a 1-device mesh
+    (sharding itself must not change the result), and both must agree with
+    the production single-chip implementation.
+
+    The image has three well-separated color classes: on structureless noise
+    the GMM has many equivalent basins and any 1e-3 feature perturbation
+    (from a different-but-valid reduction order) picks a different one, which
+    says nothing about sharding correctness.
+    """
+    from jax.sharding import Mesh
+    from pyimsegm_tpu.parallel.tiled import (
+        pipe_color2d_slic_features_model_graphcut_tiled)
+    from pyimsegm_tpu import pipelines
+    from pyimsegm_tpu.utils import data_samples
+    import jax.numpy as jnp
+
+    h, w, sp_size = 256, 192, 16
+    image, _truth = data_samples.sample_color_image_rand_segment(
+        im_size=(h, w), nb_classes=3, rand_seed=0)
+
+    feats = {'color': ['mean', 'std', 'energy']}
+    segm8, soft8 = pipe_color2d_slic_features_model_graphcut_tiled(
+        image, 3, feats, sp_size=sp_size, sp_regul=0.2, gc_regul=1.0)
+    mesh1 = Mesh(np.array(jax.devices())[:1], ('rows',))
+    segm1, soft1 = pipe_color2d_slic_features_model_graphcut_tiled(
+        image, 3, feats, sp_size=sp_size, sp_regul=0.2, gc_regul=1.0,
+        mesh=mesh1)
+
+    assert segm8.shape == (h, w)
+    # sharded vs unsharded: identical partial-sum routing on both mesh
+    # sizes -> bit-equal labels (measured 1.0)
+    agree_mesh = np.mean(segm8 == segm1)
+    assert agree_mesh > 0.999, agree_mesh
+    assert np.abs(soft8 - soft1).max() < 1e-5
+
+    # cross-implementation: the single-chip fused pipeline computes the same
+    # stages with a different (equally valid) reduction order; near-tie
+    # boundary pixels may flip (measured 0.9993 agreement, ARS 0.998)
+    cfg = slic_ops.slic_config(h, w, sp_size)
+    m = slic_ops.compactness_from_regul(sp_size, 0.2)
+    segm_s, soft_s, *_ = pipelines._pipe_unsup_core(
+        jnp.asarray(image), cfg=cfg,
+        feats_spec=(('color', ('mean', 'std', 'energy')),),
+        nb_classes=3, estim_model='GMM', pca_coef=None, use_scaler=True,
+        gc_regul=1.0, gc_edge_type='model', compactness=m, seed=0)
+    segm_s = np.asarray(segm_s)
+    agree = np.mean(segm8 == segm_s)
+    assert agree > 0.995, agree
+    ars = adjusted_rand_score(segm8.ravel(), segm_s.ravel())
+    assert float(ars) > 0.99, ars
+    # disagreeing pixels carry flipped near-one-hot posteriors; the bulk of
+    # the soft map must match
+    assert np.abs(soft8 - np.asarray(soft_s)).mean() < 0.01
