@@ -241,23 +241,48 @@ def enforce_grid_connectivity(labels, cfg: SlicConfig):
     d2min = grid_segment_min(d2, labels, cfg)       # (K,)
     reached0 = d2 <= grid_lookup(d2min, labels, cfg) + 1e-3
 
-    def prop(reached):
-        for di, dj in _CONN4:
-            same = _shift_img(labels, di, dj, -1) == labels
-            reached = reached | (_shift_img(reached, di, dj, False) & same)
-        return reached
+    # -- reach: run-constrained scan sweeps instead of 1-px wavefronts.
+    # Per direction, a cumulative max/min locates the nearest reached pixel
+    # along the row/column, and a pixel joins the reached set when that pixel
+    # falls inside its own same-label *run* (runs are static during reach, so
+    # their boundaries are scanned once).  One sweep propagates along
+    # arbitrarily long straight runs, so the while converges in a handful of
+    # sweeps (one per geodesic "bend") vs O(superpixel diameter) steps.
+    _INF = jnp.int32(2 ** 30)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    coli = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+
+    def run_edges(axis, idx):
+        chg_lo = labels != _shift_img(labels, *((1, 0) if axis == 0 else (0, 1)), -9)
+        chg_hi = labels != _shift_img(labels, *((-1, 0) if axis == 0 else (0, -1)), -9)
+        start = jax.lax.cummax(jnp.where(chg_lo, idx, -_INF), axis=axis)
+        end = jax.lax.cummin(jnp.where(chg_hi, idx, _INF), axis=axis,
+                             reverse=True)
+        return start, end
+
+    rs, re = run_edges(1, coli)
+    cs, ce = run_edges(0, rowi)
+
+    def sweep(r):
+        r = r | (jax.lax.cummax(jnp.where(r, coli, -_INF), axis=1) >= rs)
+        r = r | (jax.lax.cummin(jnp.where(r, coli, _INF), axis=1,
+                                reverse=True) <= re)
+        r = r | (jax.lax.cummax(jnp.where(r, rowi, -_INF), axis=0) >= cs)
+        r = r | (jax.lax.cummin(jnp.where(r, rowi, _INF), axis=0,
+                                reverse=True) <= ce)
+        return r
 
     def reach_cond(state):
         _, changed, it = state
-        return changed & (it < 4 * step)
+        return changed & (it < 2 * step)
 
     def reach_body(state):
         reached, _, it = state
-        new = prop(reached)
+        new = sweep(reached)
         return new, jnp.any(new != reached), it + 1
 
     reached, _, _ = jax.lax.while_loop(
-        reach_cond, reach_body, (reached0, jnp.bool_(True), 0))
+        reach_cond, reach_body, (sweep(reached0), jnp.bool_(True), 1))
 
     # absorb detached fragments into adjacent reached superpixels
     ty = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) // step

@@ -188,7 +188,7 @@ def _prepare_padded(image, cfg: SlicConfig):
 def _slic_segment_pallas(image, cfg: SlicConfig, compactness,
                          n_iter=DEFAULT_SLIC_ITERS):
     from pyimsegm_tpu.ops.slic_pallas import (
-        combine_partials, slic_assign_pallas, slic_update_pallas)
+        slic_assign_pallas, slic_multi_update_pallas)
     lab_p, _valid, centers0 = _prepare_padded(image, cfg)
     # bf16 pixel buffer: halves the dominant per-iteration HBM read (~6%
     # pipeline throughput); the kernel computes distances in f32 (cast after
@@ -198,14 +198,12 @@ def _slic_segment_pallas(image, cfg: SlicConfig, compactness,
     lab_chw = jnp.transpose(lab_p, (2, 0, 1)).astype(jnp.bfloat16)
     sw2 = (jnp.asarray(compactness, jnp.float32) / cfg.step) ** 2
 
-    def body(_, centers):
-        partials = slic_update_pallas(lab_chw, centers, sw2, cfg)
-        return combine_partials(partials, centers)
-
-    # n_iter-1 update passes + one final assignment = skimage's n_iter
-    # assign-then-update iterations (final labels are the assignment that
-    # fed the last center update, not one extra assignment after it)
-    centers = jax.lax.fori_loop(0, max(n_iter - 1, 0), body, centers0)
+    # n_iter-1 update passes (one fused multi-iteration kernel) + one final
+    # assignment = skimage's n_iter assign-then-update iterations (final
+    # labels are the assignment that fed the last center update, not one
+    # extra assignment after it)
+    centers = slic_multi_update_pallas(lab_chw, centers0, sw2, cfg,
+                                       n_upd=max(n_iter - 1, 0))
     labels = slic_assign_pallas(lab_chw, centers, sw2, cfg)
     return labels[:cfg.height, :cfg.width]
 
@@ -247,8 +245,7 @@ def _labels_geometry(labels, cfg: SlicConfig):
 def _slic_segment_geom_pallas(image, cfg: SlicConfig, compactness,
                               n_iter=DEFAULT_SLIC_ITERS, feat_image=None):
     from pyimsegm_tpu.ops.slic_pallas import (
-        combine_partials, combine_sums, slic_update_labels_pallas,
-        slic_update_pallas)
+        combine_sums, slic_multi_update_pallas, slic_update_labels_pallas)
     lab_p, _valid, centers0 = _prepare_padded(image, cfg)
     lab_chw = jnp.transpose(lab_p, (2, 0, 1)).astype(jnp.bfloat16)
     sw2 = (jnp.asarray(compactness, jnp.float32) / cfg.step) ** 2
@@ -260,11 +257,8 @@ def _slic_segment_geom_pallas(image, cfg: SlicConfig, compactness,
                          [(0, ph), (0, pw), (0, 0)])
         feat_chw = jnp.transpose(feat_p, (2, 0, 1))
 
-    def body(_, centers):
-        partials = slic_update_pallas(lab_chw, centers, sw2, cfg)
-        return combine_partials(partials, centers)
-
-    centers = jax.lax.fori_loop(0, max(n_iter - 1, 0), body, centers0)
+    centers = slic_multi_update_pallas(lab_chw, centers0, sw2, cfg,
+                                       n_upd=max(n_iter - 1, 0))
     labels, partials = slic_update_labels_pallas(lab_chw, centers, sw2, cfg,
                                                  feat_chw=feat_chw)
     sums = combine_sums(partials)                        # (gh, gw, 6|12)

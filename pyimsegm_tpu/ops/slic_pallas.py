@@ -191,6 +191,191 @@ def _slic_pass_kernel(lab_ref, c6_ref, scale_ref, *refs,
                                   preferred_element_type=jnp.float32)
 
 
+def _multi_update_kernel(lab_ref, c0_ref, scale_ref, out_ref,
+                         c6_scr, nsums_scr, *, cfg: SlicConfig):
+    """All ``n_upd`` SLIC update iterations in ONE kernel.
+
+    Grid is (n_upd, gh) — iterations outer, tile rows inner; TPU grid
+    programs run sequentially, so the per-iteration global center update
+    is done by the first row program of each iteration from a persistent
+    VMEM accumulator.  Versus one ``pallas_call`` per iteration this
+    removes 9 kernel launches, the XLA combine between passes, and all
+    per-iteration partials round-trips through HBM — only the bf16 pixel
+    blocks stream per iteration (auto double-buffered by the grid
+    pipeline).
+
+    lab_ref:   (3, 1, step, wp) bf16 Lab pixels of this tile row
+    c0_ref:    (gh, 8, gw) f32 initial centers, rows [l, a, b, y, x, 0...]
+    scale_ref: (1, 1) SMEM f32 — s = m/step
+    out_ref:   (gh, 8, gw) f32 centers (constant index map: lives in VMEM
+               for the whole call, doubles as the running center store)
+    c6_scr:    (gh+2, 8, gw) score 6-vectors + sentinel rows
+    nsums_scr: (gh+2, 8, gw) per-center update sums accumulator
+    """
+    step, gw, gh = cfg.step, cfg.grid_w, cfg.grid_h
+    wp = cfg.pad_w
+    t = pl.program_id(0)
+    i = pl.program_id(1)
+    n_upd = pl.num_programs(0)
+    s = scale_ref[0, 0]
+
+    def refresh_c6():
+        c = out_ref[...]                                  # (gh, 8, gw)
+        cl, ca, cb = c[:, 0], c[:, 1], c[:, 2]
+        sy, sx = c[:, 3] * s, c[:, 4] * s
+        half = 0.5 * (cl * cl + ca * ca + cb * cb + sy * sy + sx * sx)
+        zero = jnp.zeros((gh, 1, gw), jnp.float32)
+        c6_scr[1:gh + 1] = jnp.concatenate(
+            [cl[:, None], ca[:, None], cb[:, None], sy[:, None],
+             sx[:, None], half[:, None], zero, zero], axis=1)
+
+    def finalize():
+        sums = nsums_scr[1:gh + 1]                        # (gh, 8, gw)
+        cnt = sums[:, 5:6]
+        new = sums / jnp.maximum(cnt, 1.0)
+        out_ref[...] = jnp.where(cnt > 0, new, out_ref[...])
+
+    @pl.when(i == 0)
+    def _():
+        @pl.when(t == 0)
+        def _():
+            out_ref[...] = c0_ref[...]
+            # sentinel rows: score contribution -_SENT, never wins
+            # (iota mask — Pallas TPU has no scatter for .at[].set)
+            comp = jax.lax.broadcasted_iota(jnp.int32, (1, 8, gw), 1)
+            sent = jnp.where(comp == 5, _SENT, 0.0)
+            c6_scr[0:1] = sent
+            c6_scr[gh + 1:gh + 2] = sent
+
+        @pl.when(t > 0)
+        def _():
+            finalize()
+        refresh_c6()
+        nsums_scr[1:gh + 1] = jnp.zeros((gh, 8, gw), jnp.float32)
+
+    # ---- assignment (same dot-form scoring as _slic_pass_kernel) ----
+    l0 = lab_ref[0, 0].astype(jnp.float32)
+    l1 = lab_ref[1, 0].astype(jnp.float32)
+    l2 = lab_ref[2, 0].astype(jnp.float32)                # (step, wp)
+
+    iy = jax.lax.broadcasted_iota(jnp.int32, (step, wp), 0) + i * step
+    ix = jax.lax.broadcasted_iota(jnp.int32, (step, wp), 1)
+    py = iy.astype(jnp.float32)
+    px = ix.astype(jnp.float32)
+    sy = py * s
+    sx = px * s
+    valid = ((iy < cfg.height) & (ix < cfg.width)).astype(jnp.float32)
+
+    g_of_row = jax.lax.broadcasted_iota(jnp.int32, (gw, wp), 0)
+    l_of_col = jax.lax.broadcasted_iota(jnp.int32, (gw, wp), 1) // step
+    sel_field = (g_of_row == l_of_col).astype(jnp.float32)      # (gw, wp)
+
+    crows = c6_scr[pl.ds(i, 3)]                           # (3, 8, gw)
+
+    sent_col = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == 5, _SENT, 0.0)
+    rows = []
+    for di, dj in _OFFSETS:
+        row = crows[di + 1]                               # (8, gw)
+        if dj == -1:
+            row = jnp.concatenate([sent_col, row[:, :-1]], axis=1)
+        elif dj == 1:
+            row = jnp.concatenate([row[:, 1:], sent_col], axis=1)
+        rows.append(row)
+    stacked = jnp.concatenate(rows, axis=0)               # (72, gw)
+    fields = jax.lax.dot(stacked, sel_field,
+                         precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)  # (72, wp)
+
+    best_s = jnp.full((step, wp), -jnp.inf, jnp.float32)
+    best_o = jnp.zeros((step, wp), jnp.int32)
+    for oi in range(9):
+        f = fields[8 * oi:8 * oi + 8]
+        score = (l0 * f[0:1, :] + l1 * f[1:2, :] + l2 * f[2:3, :]
+                 + sy * f[3:4, :] + sx * f[4:5, :] - f[5:6, :])
+        take = score > best_s
+        best_s = jnp.where(take, score, best_s)
+        best_o = jnp.where(take, oi, best_o)
+
+    # ---- per-offset partial sums, grouped by dj so the pooling matmul
+    # also applies the column shift (sel maps lane-tile -> tile + dj) ----
+    l_of_row = jax.lax.broadcasted_iota(jnp.int32, (wp, gw), 0) // step
+    g_of_col = jax.lax.broadcasted_iota(jnp.int32, (wp, gw), 1)
+    accs = [jnp.zeros((8, gw), jnp.float32) for _ in range(3)]
+    for dj in (-1, 0, 1):
+        rows = []
+        for di in (-1, 0, 1):
+            oi = (di + 1) * 3 + (dj + 1)
+            w = jnp.where(best_o == oi, valid, 0.0)
+            rows += [
+                jnp.sum(l0 * w, axis=0, keepdims=True),
+                jnp.sum(l1 * w, axis=0, keepdims=True),
+                jnp.sum(l2 * w, axis=0, keepdims=True),
+                jnp.sum(py * w, axis=0, keepdims=True),
+                jnp.sum(px * w, axis=0, keepdims=True),
+                jnp.sum(w, axis=0, keepdims=True),
+                jnp.zeros((2, wp), jnp.float32),
+            ]
+        data24 = jnp.concatenate(rows, axis=0)            # (24, wp)
+        sel_pool = (l_of_row + dj == g_of_col).astype(jnp.float32)
+        pooled = jax.lax.dot(data24, sel_pool,
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)  # (24, gw)
+        for k in range(3):
+            accs[k] = accs[k] + pooled[8 * k:8 * k + 8]
+
+    for k, di in enumerate((-1, 0, 1)):
+        row = i + di + 1
+        cur = nsums_scr[pl.ds(row, 1)]
+        nsums_scr[pl.ds(row, 1)] = cur + accs[k][None]
+
+    # last program finalizes the last iteration's centers
+    @pl.when((t == n_upd - 1) & (i == gh - 1))
+    def _():
+        finalize()
+
+
+@functools.partial(jax.jit, static_argnames=('cfg', 'n_upd'))
+def slic_multi_update_pallas(lab_chw, centers, spatial_w2, cfg: SlicConfig,
+                             n_upd):
+    """Run ``n_upd`` fused assign+update iterations; returns new centers.
+
+    :param lab_chw: (3, pad_h, pad_w) Lab pixels (bf16 ok)
+    :param centers: (gh, gw, 5) float32 [l, a, b, y, x]
+    :param spatial_w2: scalar (m/step)^2 spatial weight factor
+    :returns: (gh, gw, 5) float32 updated centers
+    """
+    if n_upd <= 0:
+        return centers
+    gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
+    s = jnp.sqrt(jnp.asarray(spatial_w2, jnp.float32))
+    c0 = jnp.concatenate(
+        [jnp.transpose(centers, (0, 2, 1)),
+         jnp.zeros((gh, 3, gw), jnp.float32)], axis=1)    # (gh, 8, gw)
+    scale = s.reshape(1, 1)
+
+    out = pl.pallas_call(
+        functools.partial(_multi_update_kernel, cfg=cfg),
+        grid=(n_upd, gh),
+        in_specs=[
+            pl.BlockSpec((3, 1, step, cfg.pad_w), lambda t, i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gh, 8, gw), lambda t, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda t, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((gh, 8, gw), lambda t, i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((gh, 8, gw), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((gh + 2, 8, gw), jnp.float32),
+            pltpu.VMEM((gh + 2, 8, gw), jnp.float32),
+        ],
+    )(lab_chw.reshape(3, gh, step, cfg.pad_w), c0, scale)
+    return jnp.transpose(out, (0, 2, 1))[..., :5]
+
+
 def _centers_to_score6(centers, s, gw):
     """(gh, gw, 5) centers -> sentinel-padded (gh+2, 6, gw) score 6-vectors."""
     cl, ca, cb = centers[..., 0], centers[..., 1], centers[..., 2]
