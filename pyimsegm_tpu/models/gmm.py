@@ -187,6 +187,10 @@ def gmm_fit(key, x, sample_weight, n_components, n_init=1, max_iter=99,
                             n_components=n_components, max_iter=max_iter,
                             reg_covar=reg_covar)
     params, scores = jax.vmap(lambda k: fit(k))(keys)
+    # a restart whose EM diverged (collapsed component -> non-PSD covariance
+    # -> NaN trajectory) must lose the restart selection, but NaN wins a
+    # plain argmax under IEEE compare semantics and would poison the fit
+    scores = jnp.where(jnp.isnan(scores), -jnp.inf, scores)
     best = jnp.argmax(scores)
     return jax.tree_util.tree_map(lambda a: a[best], params)
 

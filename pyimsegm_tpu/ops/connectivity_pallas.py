@@ -1,0 +1,265 @@
+"""Banded Pallas kernels for superpixel connectivity enforcement.
+
+The XLA formulation (`pyimsegm_tpu.ops.grid.enforce_grid_connectivity`)
+runs its scan sweeps over the full image in HBM: on the fragmented
+histology bench images the reach/absorb whiles take ~25/~10 data-dependent
+iterations of ~10 memory-bound passes each, ~210 ms on the 13-image bench
+batch.  These kernels run the *same* run-constrained scan algorithm on
+horizontal bands held in VMEM, so every sweep after the first reads at
+vector-memory bandwidth instead of HBM bandwidth (~20x).
+
+Banding exploits the SLIC grid guarantee (every superpixel's pixels lie
+within the 3x3 tile window around its seed, so a superpixel spans at most
+3 tile rows): a band of ``R`` decided tile rows plus 2 halo tile rows per
+side fully contains every superpixel whose seed row is inside the decided
+range, so band-local reach equals global reach for every decided pixel.
+
+Two passes, mirroring the XLA path exactly:
+
+* **reach**: run-constrained scan sweeps — per direction, a Hillis-Steele
+  max/min scan finds the nearest reached pixel, and a pixel becomes
+  reached when that pixel lies inside its own same-label run (run
+  boundaries are scanned once; labels are constant during reach).  One
+  sweep propagates along arbitrarily long straight runs; whiles converge
+  in ~#geodesic-bends sweeps.
+* **absorb**: detached fragments take the label of the *nearest reached
+  donor* along rows/columns (packed position+label scans).  The 3x3
+  window-validity region of a fixed label along a row/col is a contiguous
+  interval containing the donor, so takers legally fill whole runs per
+  pass.  Reads the exact stitched reach plane from pass 1, so halo donors
+  are never under-reached; only multi-hop absorb chains crossing the
+  2-tile-row halo conservatively keep their original label (the same
+  "vanishingly rare" escape the XLA path has for window-violating
+  fragments).
+
+Matches the semantics of the reference's always-on skimage
+``enforce_connectivity=True`` (`/root/reference/imsegm/superpixels.py:61-63`)
+the same way the XLA path does: fragments merge into adjacent superpixels
+(K stays static).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pyimsegm_tpu.ops.slic import SlicConfig
+
+_INF = 2 ** 30
+#: decided tile rows per band (halo is 2 tile rows each side)
+_BAND_R = 8
+_HALO = 2
+#: reach sweep cap, shared with the XLA path (`ops/grid.py`): each sweep
+#: resolves one geodesic bend; components needing more are degenerate mazes
+#: (noise) whose remainder the absorb pass merges — output stays connected
+MAX_SWEEPS = 8
+
+
+def _shift(x, d, axis, fill):
+    """Shift values by ``d`` along ``axis`` (positive = towards higher
+    index), filling vacated cells; cyclic roll + iota mask."""
+    n = x.shape[axis]
+    rolled = pltpu.roll(x, d % n, axis)
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    keep = idx >= d if d >= 0 else idx < n + d
+    return jnp.where(keep, rolled, fill)
+
+
+def _max_scan(v, axis, n_ceil):
+    """Inclusive Hillis-Steele max scan (towards higher index)."""
+    d = 1
+    while d < n_ceil:
+        v = jnp.maximum(v, _shift(v, d, axis, -_INF))
+        d *= 2
+    return v
+
+
+def _min_scan(v, axis, n_ceil):
+    """Inclusive min scan towards lower index."""
+    d = 1
+    while d < n_ceil:
+        v = jnp.minimum(v, _shift(v, -d, axis, _INF))
+        d *= 2
+    return v
+
+
+def _reach_kernel(lab_ref, rch_ref, out_ref, *, step, band_rows, dec_rows):
+    """Pass 1: anchor-component reach for one band's decided rows."""
+    lab = lab_ref[0]
+    r = rch_ref[0]                                        # int32 0/1
+    wp = lab.shape[1]
+
+    rowi = jax.lax.broadcasted_iota(jnp.int32, lab.shape, 0)
+    coli = jax.lax.broadcasted_iota(jnp.int32, lab.shape, 1)
+
+    # a superpixel spans at most 3 tile rows/cols (grid invariant), so no
+    # same-label run exceeds 3*step pixels — scans past that are wasted
+    lim_w = min(wp, 3 * step + 2)
+    lim_h = min(band_rows, 3 * step + 2)
+
+    # run boundaries (labels are constant during reach): nearest label
+    # change at/before (start) and at/after (end) each pixel, per axis
+    def run_edges(axis, idx, n):
+        chg_lo = lab != _shift(lab, 1, axis, -9)
+        chg_hi = lab != _shift(lab, -1, axis, -9)
+        start = _max_scan(jnp.where(chg_lo, idx, -_INF), axis, n)
+        end = _min_scan(jnp.where(chg_hi, idx, _INF), axis, n)
+        return start, end
+
+    rs, re = run_edges(1, coli, lim_w)
+    cs, ce = run_edges(0, rowi, lim_h)
+
+    # out-of-image padding (-9) forms runs longer than the scan limit, whose
+    # truncated run edges are garbage — mask it out of reach entirely
+    valid = lab >= 0
+
+    def sweep(r):
+        t = jnp.where(r, coli, -_INF)
+        r = r | (_max_scan(t, 1, lim_w) >= rs)
+        t = jnp.where(r, coli, _INF)
+        r = r | (_min_scan(t, 1, lim_w) <= re)
+        t = jnp.where(r, rowi, -_INF)
+        r = r | (_max_scan(t, 0, lim_h) >= cs)
+        t = jnp.where(r, rowi, _INF)
+        r = r | (_min_scan(t, 0, lim_h) <= ce)
+        return r & valid
+
+    # int32 carries only: Mosaic's while_loop lowering rejects i1 vectors
+    def reach_cond(state):
+        _, changed, it = state
+        return (changed > 0) & (it < MAX_SWEEPS)
+
+    def reach_body(state):
+        r, _, it = state
+        r2 = sweep(r != 0).astype(jnp.int32)
+        return r2, jnp.sum(r2 - r), it + 1
+
+    r, _, _ = jax.lax.while_loop(
+        reach_cond, reach_body,
+        (sweep(r != 0).astype(jnp.int32), jnp.int32(1), jnp.int32(1)))
+    out_ref[0] = r[_HALO * step:_HALO * step + dec_rows]
+
+
+def _absorb_kernel(lab_ref, rch_ref, out_ref, *,
+                   step, gw, band_rows, dec_rows, r_dec, pack):
+    """Pass 2: window-constrained run-filling absorption for one band.
+
+    ``rch_ref`` is the exact global reach from pass 1, so halo donors are
+    never under-reached; only multi-hop absorb chains crossing the halo
+    stay band-local.
+    """
+    lab = lab_ref[0]
+    wp = lab.shape[1]
+
+    rowi = jax.lax.broadcasted_iota(jnp.int32, lab.shape, 0)
+    coli = jax.lax.broadcasted_iota(jnp.int32, lab.shape, 1)
+    ty0 = pl.program_id(0) * r_dec - _HALO
+    ty = ty0 + rowi // step
+    tx = coli // step
+    none = jnp.int32(-_INF)
+    _PACK = jnp.int32(pack)
+
+    # a window-valid taker is at most 3*step from its donor (the validity
+    # interval of the donor's label is that wide) — truncate scans there
+    lim_w = min(wp, 3 * step + 2)
+    lim_h = min(band_rows, 3 * step + 2)
+
+    def absorb_pass(lab, rch, axis, reverse, idx, n):
+        packed = jnp.where(rch != 0, idx * _PACK + lab, none)
+        near = (_min_scan(-packed, axis, n) * -1 if reverse
+                else _max_scan(packed, axis, n))
+        dl = near % _PACK
+        ok = (near > none // 2) & (rch == 0) \
+            & (jnp.abs(dl // gw - ty) <= 1) & (jnp.abs(dl % gw - tx) <= 1)
+        return jnp.where(ok, dl, lab), rch | ok.astype(jnp.int32)
+
+    # int32 carries only (see _reach_kernel)
+    def absorb_body(state):
+        lab, rch, _, it = state
+        r0 = rch
+        lab, rch = absorb_pass(lab, rch, 1, False, coli, lim_w)
+        lab, rch = absorb_pass(lab, rch, 1, True, -coli, lim_w)
+        lab, rch = absorb_pass(lab, rch, 0, False, rowi, lim_h)
+        lab, rch = absorb_pass(lab, rch, 0, True, -rowi, lim_h)
+        return lab, rch, jnp.sum(rch - r0), it + 1
+
+    def absorb_cond(state):
+        _, _, changed, it = state
+        return (changed > 0) & (it < 12)
+
+    lab, _, _, _ = jax.lax.while_loop(
+        absorb_cond, absorb_body,
+        (lab, rch_ref[0], jnp.int32(1), jnp.int32(0)))
+    out_ref[0] = lab[_HALO * step:_HALO * step + dec_rows]
+
+
+def _banded(arr, n_bands, dec_rows, band_rows):
+    """Stack overlapping (band_rows, wp) windows starting every dec_rows."""
+    return jnp.stack([
+        jax.lax.dynamic_slice_in_dim(arr, b * dec_rows, band_rows)
+        for b in range(n_bands)])
+
+
+@functools.partial(jax.jit, static_argnames=('cfg',))
+def reach_absorb_pallas(labels_p, reached0, cfg: SlicConfig):
+    """Banded reach+absorb over grid-padded labels.
+
+    :param labels_p: (pad_h, pad_w) int32 labels, out-of-image pixels -9
+    :param reached0: (pad_h, pad_w) bool anchor-component seed
+    :returns: (pad_h, pad_w) int32 enforced labels
+    """
+    gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
+    wp = cfg.pad_w
+    r_dec = min(_BAND_R, gh)
+    n_bands = -(-gh // r_dec)
+    dec_rows = r_dec * step
+    band_rows = (r_dec + 2 * _HALO) * step
+
+    # pad tile rows: HALO on top, HALO + band remainder at bottom
+    top = _HALO * step
+    bottom = (n_bands * r_dec - gh + _HALO) * step
+    lab_full = jnp.pad(labels_p, ((top, bottom), (0, 0)), constant_values=-9)
+    rch_full = jnp.pad(reached0.astype(jnp.int32), ((top, bottom), (0, 0)))
+
+    lab_bands = _banded(lab_full, n_bands, dec_rows, band_rows)
+
+    band_spec = pl.BlockSpec((1, band_rows, wp), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, dec_rows, wp), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n_bands, dec_rows, wp), jnp.int32)
+
+    # the scan sweeps hold several full-band int32 temporaries; raise the
+    # scoped-VMEM cap above the 16M default to fit them
+    params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
+    reach = pl.pallas_call(
+        functools.partial(_reach_kernel, step=step,
+                          band_rows=band_rows, dec_rows=dec_rows),
+        grid=(n_bands,),
+        in_specs=[band_spec, band_spec],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        compiler_params=params,
+    )(lab_bands, _banded(rch_full, n_bands, dec_rows, band_rows))
+
+    reach_full = jnp.pad(
+        reach.reshape(n_bands * dec_rows, wp)[:cfg.pad_h],
+        ((top, bottom), (0, 0)))
+
+    pack = 1 << int(gh * gw - 1).bit_length()
+    assert max(cfg.pad_h, wp) * pack < 2 ** 31, \
+        'image too large for packed scans'
+    out = pl.pallas_call(
+        functools.partial(_absorb_kernel, step=step, gw=gw,
+                          band_rows=band_rows, dec_rows=dec_rows,
+                          r_dec=r_dec, pack=pack),
+        grid=(n_bands,),
+        in_specs=[band_spec, band_spec],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        compiler_params=params,
+    )(lab_bands, _banded(reach_full, n_bands, dec_rows, band_rows))
+    return out.reshape(n_bands * dec_rows, wp)[:cfg.pad_h]

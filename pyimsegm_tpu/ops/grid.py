@@ -241,6 +241,15 @@ def enforce_grid_connectivity(labels, cfg: SlicConfig):
     d2min = grid_segment_min(d2, labels, cfg)       # (K,)
     reached0 = d2 <= grid_lookup(d2min, labels, cfg) + 1e-3
 
+    from pyimsegm_tpu.ops.slic import _pallas_available
+    if _pallas_available():
+        # banded VMEM-resident reach+absorb (same scan algorithm as below,
+        # but iterating at vector-memory bandwidth instead of HBM)
+        from pyimsegm_tpu.ops.connectivity_pallas import reach_absorb_pallas
+        labels_p = _pad_to_grid(labels, cfg, fill=-9)
+        reached_p = _pad_to_grid(reached0, cfg, fill=False)
+        return reach_absorb_pallas(labels_p, reached_p, cfg)[:h, :w]
+
     # -- reach: run-constrained scan sweeps instead of 1-px wavefronts.
     # Per direction, a cumulative max/min locates the nearest reached pixel
     # along the row/column, and a pixel joins the reached set when that pixel
@@ -272,9 +281,14 @@ def enforce_grid_connectivity(labels, cfg: SlicConfig):
                                 reverse=True) <= ce)
         return r
 
+    # sweep cap shared with the Pallas kernels: components needing more
+    # sweeps are degenerate mazes (noise) whose remainder absorb merges —
+    # the output stays connected either way
+    from pyimsegm_tpu.ops.connectivity_pallas import MAX_SWEEPS
+
     def reach_cond(state):
         _, changed, it = state
-        return changed & (it < 2 * step)
+        return changed & (it < MAX_SWEEPS)
 
     def reach_body(state):
         reached, _, it = state
@@ -284,25 +298,47 @@ def enforce_grid_connectivity(labels, cfg: SlicConfig):
     reached, _, _ = jax.lax.while_loop(
         reach_cond, reach_body, (sweep(reached0), jnp.bool_(True), 1))
 
-    # absorb detached fragments into adjacent reached superpixels
-    ty = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) // step
-    tx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) // step
+    # -- absorb detached fragments into adjacent reached superpixels, again
+    # with run-filling scans: pack (position, label) of reached pixels and a
+    # cummax gives each pixel its *nearest reached donor* along the row/col
+    # (all pixels in between are unreached by construction).  The 3x3-window
+    # validity region of a fixed label along a row/col is a contiguous
+    # interval that contains the donor (SLIC grid invariant), so if the
+    # taker is window-valid every pixel between donor and taker is too —
+    # whole fragment runs fill in one pass, and the while converges in
+    # ~fragment-bend-count iterations instead of fragment-diameter ones.
+    ty = rowi // step
+    tx = coli // step
+    # pack factor: smallest power of two above the label count; positions
+    # times pack must stay inside int32
+    pack = 1 << int(gh * gw - 1).bit_length()
+    assert max(h, w) * pack < 2 ** 31, 'image too large for packed scans'
+    _PACK = jnp.int32(pack)
+
+    _NONE = jnp.int32(-2 ** 30)
+
+    def absorb_pass(labels, reached, axis, reverse, idx):
+        # idx is +position (forward: nearest donor behind = max) or
+        # -position (reverse: nearest donor ahead = max of negated);
+        # floor-mod recovers the label from either sign
+        packed = jnp.where(reached, idx * _PACK + labels, _NONE)
+        near = jax.lax.cummax(packed, axis=axis, reverse=reverse)
+        dl = near % _PACK
+        ok = (near > _NONE // 2) & ~reached \
+            & (jnp.abs(dl // gw - ty) <= 1) & (jnp.abs(dl % gw - tx) <= 1)
+        labels = jnp.where(ok, dl, labels)
+        return labels, reached | ok
 
     def absorb_body(state):
         labels, reached, _, it = state
-
-        got = reached
-        best = labels
-        for di, dj in _CONN4:
-            nl = _shift_img(labels, di, dj, -1)
-            nr = _shift_img(reached, di, dj, False)
-            in_window = (jnp.abs(nl // gw - ty) <= 1) \
-                & (jnp.abs(nl % gw - tx) <= 1) & (nl >= 0)
-            take = nr & ~got & in_window
-            best = jnp.where(take, nl, best)
-            got = got | take
-        new_labels = jnp.where(got, best, labels)
-        return new_labels, got, jnp.any(got != reached), it + 1
+        r0 = reached
+        # nearest donor *behind* p needs max position; *ahead* needs min —
+        # flip the packed sign for the reverse direction
+        labels, reached = absorb_pass(labels, reached, 1, False, coli)
+        labels, reached = absorb_pass(labels, reached, 1, True, -coli)
+        labels, reached = absorb_pass(labels, reached, 0, False, rowi)
+        labels, reached = absorb_pass(labels, reached, 0, True, -rowi)
+        return labels, reached, jnp.any(reached != r0), it + 1
 
     def absorb_cond(state):
         _, _, changed, it = state

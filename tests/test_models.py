@@ -91,3 +91,30 @@ def test_estim_class_model_pca():
     model = estim_class_model(x, 2, pca_coef=0.95, max_iter=20)
     proba = np.asarray(model.predict_proba(x))
     assert adjusted_rand_score(proba.argmax(1), y) > 0.9
+
+
+def test_gmm_fit_discards_nan_restart(monkeypatch):
+    """A restart whose EM trajectory diverges to NaN must lose the restart
+    selection instead of poisoning the argmax (IEEE NaN wins plain argmax);
+    observed in the unsupervised pipeline where 1 of 9 restarts collapsed."""
+    x, y = _two_blobs()
+    w = jnp.ones(len(x))
+    real = gmm_mod._em_fit_single
+    bad_key = jax.random.split(jax.random.PRNGKey(0), 3)[1]
+
+    def flaky(key, **kw):
+        params, score = real(key, **kw)
+        bad = jnp.all(key == bad_key)
+        poison = lambda a: jnp.where(bad, jnp.nan, a)
+        return jax.tree_util.tree_map(poison, params), poison(score)
+
+    monkeypatch.setattr(gmm_mod, '_em_fit_single', flaky)
+    jax.clear_caches()
+    try:
+        params = gmm_mod.gmm_fit(jax.random.PRNGKey(0), jnp.asarray(x), w, 2,
+                                 n_init=3, max_iter=50)
+    finally:
+        jax.clear_caches()
+    assert not any(bool(jnp.isnan(a).any()) for a in params)
+    proba = np.asarray(gmm_mod.gmm_predict_proba(params, jnp.asarray(x)))
+    assert adjusted_rand_score(proba.argmax(1), y) == pytest.approx(1.0)
