@@ -9,9 +9,10 @@ classifier trained and evaluated on device (see
 name           implementation
 =============  =====================================================
 RandForest     vectorised level-synchronous random forest (default)
-GradBoost      forest with deeper trees + lower feature subsampling
+GradBoost      histogram gradient-boosted trees (softmax boosting,
+               Newton leaves; ``models/gbt``)
 DecTree        single deep tree (forest with n_trees=1)
-AdaBoost       forest variant (uniform-weight ensemble)
+AdaBoost       SAMME.R boosting over reweighted trees (``models/adaboost``)
 LogistRegr     multinomial logistic regression (full-batch Adam)
 SVM            one-vs-rest squared-hinge linear SVM, softmax-calibrated
 KNN            brute-force kNN via MXU distance matmul
@@ -31,7 +32,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pyimsegm_tpu.models import adaboost as adaboost_mod
 from pyimsegm_tpu.models import forest as forest_mod
+from pyimsegm_tpu.models import gbt as gbt_mod
 from pyimsegm_tpu.models import linear as linear_mod
 from pyimsegm_tpu.utils.metrics import compute_classif_metrics  # noqa: F401
 
@@ -87,15 +90,21 @@ class Classifier:
         y_d = jnp.asarray(y_dense)
         w_d = jnp.asarray(w)
         h = self.hyper
-        if self.name in ('RandForest', 'AdaBoost'):
+        if self.name == 'RandForest':
             self._params = forest_mod.forest_fit(
                 key, xs_d, y_d, w_d, n_classes,
                 n_trees=h.get('n_trees', 32), depth=h.get('depth', 8),
                 n_candidates=h.get('n_candidates', 8))
         elif self.name == 'GradBoost':
-            self._params = forest_mod.forest_fit(
+            self._params = gbt_mod.gbt_fit(
+                xs_d, y_d, w_d, n_classes,
+                n_rounds=h.get('n_rounds', 64), depth=h.get('depth', 4),
+                learning_rate=h.get('learning_rate', 0.1),
+                n_bins=h.get('n_bins', 64))
+        elif self.name == 'AdaBoost':
+            self._params = adaboost_mod.adaboost_fit(
                 key, xs_d, y_d, w_d, n_classes,
-                n_trees=h.get('n_trees', 64), depth=h.get('depth', 5),
+                n_rounds=h.get('n_rounds', 24), depth=h.get('depth', 3),
                 n_candidates=h.get('n_candidates', 16))
         elif self.name == 'DecTree':
             self._params = forest_mod.forest_fit(
@@ -134,8 +143,12 @@ class Classifier:
         if self._params is None:
             raise RuntimeError('classifier is not fitted')
         x = self._transform(features)
-        if self.name in ('RandForest', 'GradBoost', 'DecTree', 'AdaBoost'):
+        if self.name in ('RandForest', 'DecTree'):
             proba = forest_mod.forest_predict_proba(self._params, x)
+        elif self.name == 'GradBoost':
+            proba = gbt_mod.gbt_predict_proba(self._params, x)
+        elif self.name == 'AdaBoost':
+            proba = adaboost_mod.adaboost_predict_proba(self._params, x)
         elif self.name in ('LogistRegr', 'SVM'):
             proba = linear_mod.logistic_predict_proba(self._params, x)
         elif self.name == 'MLP':
@@ -162,9 +175,10 @@ def create_classifiers(**kwargs):
 CLF_PARAM_DISTRIBUTIONS = {
     'RandForest': {'n_trees': [16, 32, 64], 'depth': [6, 8, 10],
                    'n_candidates': [4, 8, 16]},
-    'GradBoost': {'n_trees': [32, 64, 96], 'depth': [3, 5, 7]},
+    'GradBoost': {'n_rounds': [32, 64, 96], 'depth': [3, 4, 5],
+                  'learning_rate': [0.05, 0.1, 0.2]},
     'DecTree': {'depth': [8, 12, 16]},
-    'AdaBoost': {'n_trees': [16, 32, 64], 'depth': [4, 6, 8]},
+    'AdaBoost': {'n_rounds': [12, 24, 48], 'depth': [2, 3, 4]},
     'LogistRegr': {'l2': [1e-5, 1e-4, 1e-3, 1e-2], 'steps': [200, 400]},
     'SVM': {'C': [0.1, 1.0, 10.0]},
     'KNN': {'k': [3, 5, 9, 15]},

@@ -155,8 +155,9 @@ def forest_fit(key, x, y, sample_weight, n_classes, n_trees=32, depth=8,
                         proba.reshape(t, n_leaves, -1), depth)
 
 
-@functools.partial(jax.jit, static_argnames=('depth',))
-def _forest_predict_jit(feat, thr_store, leaf_proba, depth, x):
+@functools.partial(jax.jit, static_argnames=('depth', 'reduce_mean'))
+def _forest_predict_jit(feat, thr_store, leaf_proba, depth, x,
+                        reduce_mean=True):
     x = x.astype(jnp.float32)
     t = feat.shape[0]
     n = x.shape[0]
@@ -169,7 +170,7 @@ def _forest_predict_jit(feat, thr_store, leaf_proba, depth, x):
     leaf = node - (2 ** depth - 1)
     probs = jnp.take_along_axis(
         leaf_proba, leaf[..., None], axis=1)                      # (T, N, C)
-    return jnp.mean(probs, axis=0)
+    return jnp.mean(probs, axis=0) if reduce_mean else probs
 
 
 def forest_predict_proba(params: ForestParams, x):
