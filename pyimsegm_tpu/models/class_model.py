@@ -127,10 +127,12 @@ def estim_class_model(features, nb_classes, estim_model='GMM', pca_coef=None,
             _, y = gmm_mod.kmeans_fit(key, x, w, nb_classes, n_iter=max_iter)
         params = gmm_mod.gmm_fit_from_labels(x, y, w, nb_classes, max_iter=1)
     elif base == 'BGM':
-        # Bayesian GMM approximated by a strongly regularised GMM; the
-        # reference uses sklearn BayesianGaussianMixture (`graph_cuts.py:144-147`)
-        params = gmm_mod.gmm_fit(key, x, w, nb_classes, n_init=n_init,
-                                 max_iter=max_iter, reg_covar=1e-4)
+        # variational Bayesian GMM (CAVI, Dirichlet + Normal-Wishart priors),
+        # exported as expected parameters — the true counterpart of sklearn
+        # BayesianGaussianMixture (`graph_cuts.py:144-147`)
+        from pyimsegm_tpu.models import bgm as bgm_mod
+        params = bgm_mod.bgm_fit(key, x, w, nb_classes, n_init=n_init,
+                                 max_iter=max_iter)
     elif base == 'Otsu':
         if nb_classes != 2:
             raise ValueError("estim_model='Otsu' supports exactly 2 classes")
