@@ -195,7 +195,7 @@ def grid_segment_min(value, labels, cfg: SlicConfig):
     return out.reshape(gh * gw)
 
 
-def enforce_grid_connectivity(labels, cfg: SlicConfig):
+def enforce_grid_connectivity(labels, cfg: SlicConfig, min_size=None):
     """Make every superpixel a single 4-connected region, on device.
 
     The reference always runs skimage SLIC with ``enforce_connectivity=True``
@@ -213,17 +213,22 @@ def enforce_grid_connectivity(labels, cfg: SlicConfig):
        the pixel's own 3x3 seed window, so the grid-structure invariant every
        scatter-free op in this module relies on is preserved by construction
        (a fragment whose surroundings all violate the window keeps its label
-       rather than corrupt the grid ops; vanishingly rare).
+       rather than corrupt the grid ops; vanishingly rare);
+    4. optionally (``min_size``) *merge whole superpixels* below the skimage
+       size floor into a neighbour, with the same absorb scans: skimage kills
+       every component smaller than ``min_size_factor * step**2``, and this
+       pass reproduces that granularity (without it, tessellations drift on
+       high-variance images where many superpixels shrink below the floor).
 
     Unlike skimage, which *splits* large detached components into brand-new
     superpixels, fragments here are always merged (K is static); with SLIC's
     spatial term large detached fragments do not occur in practice.
 
     :param labels: (H, W) int32 grid-structured SLIC labels
+    :param min_size: merge superpixels with fewer pixels into a neighbour
     :returns: (H, W) int32 labels, connected per superpixel
     """
     h, w = labels.shape
-    gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
     labels = labels.astype(jnp.int32)
 
     # anchors: the pixel(s) of each superpixel nearest its centroid — the
@@ -240,6 +245,106 @@ def enforce_grid_connectivity(labels, cfg: SlicConfig):
     d2 = (py - cpix[..., 0]) ** 2 + (px - cpix[..., 1]) ** 2
     d2min = grid_segment_min(d2, labels, cfg)       # (K,)
     reached0 = d2 <= grid_lookup(d2min, labels, cfg) + 1e-3
+
+    labels = _connect_components(labels, reached0, cfg)
+    if min_size:
+        labels = min_size_merge(labels, cfg, min_size)
+    return labels
+
+
+def donor_table_from_counts(counts, sym25, gh, gw, min_size):
+    """Per-label merge targets for the min-size phase.
+
+    :param counts: (K,) per-superpixel pixel counts
+    :param sym25: (gh, gw, 25) symmetric boundary-contact counts
+    :param min_size: the skimage size floor
+    :returns: (donor (K,) int32 — target label, or the label itself when it
+        is kept / has no kept neighbour this round; small (K,) bool)
+
+    Donor = the *kept* (not-small) grid neighbour with maximum boundary
+    contact — skimage's most-contact merge, made sweep-order-independent so
+    the batch and sharded pipelines take identical decisions from identical
+    replicated tables.
+    """
+    k = gh * gw
+    small = counts < float(min_size)                 # (K,) empties included
+    small_g = small.reshape(gh, gw)
+    oy = jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 0)
+    ox = jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 1)
+    best_score = jnp.full((gh, gw), -1.0, jnp.float32)
+    best_donor = jnp.arange(k, dtype=jnp.int32).reshape(gh, gw)
+    for ci, (dy, dx) in enumerate(GRAPH_OFFSETS):
+        ny, nx = oy + dy, ox + dx
+        valid = (ny >= 0) & (ny < gh) & (nx >= 0) & (nx < gw)
+        nyc, nxc = jnp.clip(ny, 0, gh - 1), jnp.clip(nx, 0, gw - 1)
+        kept = ~small_g[nyc, nxc] & valid
+        score = jnp.where(kept, sym25[..., ci], -1.0)
+        take = score > best_score
+        best_score = jnp.where(take, score, best_score)
+        best_donor = jnp.where(take, nyc * gw + nxc, best_donor)
+    donor = jnp.where(small_g & (best_score > 0.0), best_donor,
+                      jnp.arange(k, dtype=jnp.int32).reshape(gh, gw))
+    return donor.reshape(k), small
+
+
+def sym_contact_counts(cnt25_directed, gh, gw):
+    """Symmetrize directed (gh, gw, 25) boundary-pair counts: contact(A, B)
+    = directed(A->B) + directed(B->A) routed back through the flipped
+    channel (shared by the batch and sharded min-size merges)."""
+    perm = _flip_channel_perm()
+    partner = jnp.stack(
+        [_shift2d(cnt25_directed[..., perm[ci]], -dy, -dx)
+         for ci, (dy, dx) in enumerate(GRAPH_OFFSETS)], axis=-1)
+    return cnt25_directed + partner
+
+
+def grid_pair_count_channels(labels, cfg: SlicConfig):
+    """Raw directed (gh, gw, 25) boundary-contact counts (the pre-threshold
+    tensor behind :func:`grid_adjacency`); always the XLA einsum path — the
+    min-size merge needs counts, not presence."""
+    gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
+    labels_p = _pad_to_grid(labels, cfg, fill=-2)
+    hp, wp = labels_p.shape
+    b_h = jnp.concatenate([labels_p[:, 1:],
+                           jnp.full((hp, 1), -2, labels_p.dtype)], 1)
+    b_v = jnp.concatenate([labels_p[1:, :],
+                           jnp.full((1, wp), -2, labels_p.dtype)], 0)
+    cnt9 = (_pair_counts_einsum(labels_p, b_h, cfg)
+            + _pair_counts_einsum(labels_p, b_v, cfg))
+    adj = jnp.zeros((gh, gw, 25), jnp.float32)
+    for idx, (di, dj) in enumerate(_OFFSETS):
+        adj = adj + _shift2d(cnt9[:, :, idx], di, dj)
+    return adj
+
+
+def min_size_merge(labels, cfg: SlicConfig, min_size, n_rounds=3):
+    """Merge whole superpixels below ``min_size`` into their max-contact
+    kept neighbour (skimage ``min_size_factor`` semantics,
+    `skimage/segmentation/_slic.py`), preserving the 3x3 grid invariant:
+    pixels whose donor seed falls outside their own 3x3 tile window keep
+    their label (vanishingly rare).  ``n_rounds`` resolves chains of small
+    superpixels whose only neighbours were small in earlier rounds."""
+    h, w = labels.shape
+    gh, gw = cfg.grid_h, cfg.grid_w
+    step = cfg.step
+    ty = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) // step
+    tx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) // step
+    for _ in range(n_rounds):
+        counts = grid_segment_sum(jnp.ones((h, w, 1), jnp.float32),
+                                  labels, cfg)[:, 0]
+        sym25 = sym_contact_counts(grid_pair_count_channels(labels, cfg),
+                                   gh, gw)
+        donor, _small = donor_table_from_counts(counts, sym25, gh, gw,
+                                                min_size)
+        new = grid_lookup(donor[:, None].astype(jnp.float32), labels,
+                          cfg)[..., 0].astype(jnp.int32)
+        ok = (jnp.abs(new // gw - ty) <= 1) & (jnp.abs(new % gw - tx) <= 1)
+        labels = jnp.where(ok, new, labels)
+    return labels
+
+
+def _connect_components(labels, reached0, cfg: SlicConfig):
+    h, w = labels.shape
 
     from pyimsegm_tpu.ops.slic import _pallas_available
     if _pallas_available():
@@ -258,6 +363,7 @@ def enforce_grid_connectivity(labels, cfg: SlicConfig):
     # arbitrarily long straight runs, so the while converges in a handful of
     # sweeps (one per geodesic "bend") vs O(superpixel diameter) steps.
     _INF = jnp.int32(2 ** 30)
+    labels = labels.astype(jnp.int32)
     rowi = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     coli = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
 
@@ -297,16 +403,29 @@ def enforce_grid_connectivity(labels, cfg: SlicConfig):
 
     reached, _, _ = jax.lax.while_loop(
         reach_cond, reach_body, (sweep(reached0), jnp.bool_(True), 1))
+    return _absorb_unreached(labels, reached, cfg)
 
-    # -- absorb detached fragments into adjacent reached superpixels, again
-    # with run-filling scans: pack (position, label) of reached pixels and a
-    # cummax gives each pixel its *nearest reached donor* along the row/col
-    # (all pixels in between are unreached by construction).  The 3x3-window
-    # validity region of a fixed label along a row/col is a contiguous
-    # interval that contains the donor (SLIC grid invariant), so if the
-    # taker is window-valid every pixel between donor and taker is too —
-    # whole fragment runs fill in one pass, and the while converges in
-    # ~fragment-bend-count iterations instead of fragment-diameter ones.
+
+def _absorb_unreached(labels, reached, cfg: SlicConfig):
+    """Relabel every unreached pixel to its nearest reached donor label.
+
+    Run-filling scans: pack (position, label) of reached pixels and a
+    cummax gives each pixel its *nearest reached donor* along the row/col
+    (all pixels in between are unreached by construction).  The 3x3-window
+    validity region of a fixed label along a row/col is a contiguous
+    interval that contains the donor (SLIC grid invariant), so if the
+    taker is window-valid every pixel between donor and taker is too —
+    whole fragment runs fill in one pass, and the while converges in
+    ~fragment-bend-count iterations instead of fragment-diameter ones.
+    As pixels are relabelled they join the donor set, so chains of
+    unreached regions (e.g. small superpixels adjacent only to other small
+    ones in the ``min_size`` merge phase) resolve over iterations.
+    """
+    h, w = labels.shape
+    gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
+    labels = labels.astype(jnp.int32)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    coli = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     ty = rowi // step
     tx = coli // step
     # pack factor: smallest power of two above the label count; positions
@@ -368,6 +487,39 @@ def _flip_channel_perm():
     return [GRAPH_OFFSETS.index((-dy, -dx)) for dy, dx in GRAPH_OFFSETS]
 
 
+def _pair_counts_einsum(labels_p, b, cfg: SlicConfig):
+    """(gh, gw, 9, 25) directed boundary-pair counts between each pixel's
+    label (routed to its 3x3 tile offset) and the paired label ``b`` (5x5
+    relative-offset channel); one per-tile one-hot einsum on the MXU."""
+    gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
+    hp, wp = labels_p.shape
+    tile_y = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0) // step
+    tile_x = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1) // step
+    ga_y = labels_p // gw
+    ga_x = labels_p % gw
+    gb_y = b // gw
+    gb_x = b % gw
+    dy = gb_y - ga_y
+    dx = gb_x - ga_x
+    oa_y = ga_y - tile_y + 1
+    oa_x = ga_x - tile_x + 1
+    ok = ((labels_p != b) & (b >= 0) & (labels_p >= 0)
+          & (jnp.abs(dy) <= 2) & (jnp.abs(dx) <= 2)
+          & (oa_y >= 0) & (oa_y < 3) & (oa_x >= 0) & (oa_x < 3))
+    ch = (dy + 2) * 5 + (dx + 2)
+    oa = oa_y * 3 + oa_x
+    oh_a = jax.nn.one_hot(jnp.where(ok, oa, 0), 9, dtype=jnp.float32) \
+        * ok[..., None].astype(jnp.float32)
+    oh_c = jax.nn.one_hot(jnp.where(ok, ch, 0), 25, dtype=jnp.float32)
+    a_t = oh_a.reshape(gh, step, gw, step, 9).transpose(0, 2, 1, 3, 4) \
+        .reshape(gh * gw, step * step, 9)
+    c_t = oh_c.reshape(gh, step, gw, step, 25).transpose(0, 2, 1, 3, 4) \
+        .reshape(gh * gw, step * step, 25)
+    return jnp.einsum('tpa,tpc->tac', a_t, c_t,
+                      preferred_element_type=jnp.float32) \
+        .reshape(gh, gw, 9, 25)
+
+
 def grid_adjacency(labels, cfg: SlicConfig):
     """(gh, gw, 25) float adjacency indicator between each superpixel and its
     grid neighbors, built scatter-free from conn4 pixel pairs.
@@ -380,33 +532,6 @@ def grid_adjacency(labels, cfg: SlicConfig):
     gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
     labels_p = _pad_to_grid(labels, cfg, fill=-2)
     hp, wp = labels_p.shape
-    tile_y = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0) // step
-    tile_x = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1) // step
-    ga_y = labels_p // gw
-    ga_x = labels_p % gw
-
-    def pair_counts(b):
-        gb_y = b // gw
-        gb_x = b % gw
-        dy = gb_y - ga_y
-        dx = gb_x - ga_x
-        oa_y = ga_y - tile_y + 1
-        oa_x = ga_x - tile_x + 1
-        ok = ((labels_p != b) & (b >= 0) & (labels_p >= 0)
-              & (jnp.abs(dy) <= 2) & (jnp.abs(dx) <= 2)
-              & (oa_y >= 0) & (oa_y < 3) & (oa_x >= 0) & (oa_x < 3))
-        ch = (dy + 2) * 5 + (dx + 2)
-        oa = oa_y * 3 + oa_x
-        oh_a = jax.nn.one_hot(jnp.where(ok, oa, 0), 9, dtype=jnp.float32) \
-            * ok[..., None].astype(jnp.float32)
-        oh_c = jax.nn.one_hot(jnp.where(ok, ch, 0), 25, dtype=jnp.float32)
-        a_t = oh_a.reshape(gh, step, gw, step, 9).transpose(0, 2, 1, 3, 4) \
-            .reshape(gh * gw, step * step, 9)
-        c_t = oh_c.reshape(gh, step, gw, step, 25).transpose(0, 2, 1, 3, 4) \
-            .reshape(gh * gw, step * step, 25)
-        return jnp.einsum('tpa,tpc->tac', a_t, c_t,
-                          preferred_element_type=jnp.float32) \
-            .reshape(gh, gw, 9, 25)
 
     # horizontal pairs: b = right neighbor ; vertical pairs: b = lower
     from pyimsegm_tpu.ops.slic import _pallas_available
@@ -416,7 +541,8 @@ def grid_adjacency(labels, cfg: SlicConfig):
     else:
         b_h = jnp.concatenate([labels_p[:, 1:], jnp.full((hp, 1), -2, labels_p.dtype)], 1)
         b_v = jnp.concatenate([labels_p[1:, :], jnp.full((1, wp), -2, labels_p.dtype)], 0)
-        cnt9 = pair_counts(b_h) + pair_counts(b_v)
+        cnt9 = (_pair_counts_einsum(labels_p, b_h, cfg)
+                + _pair_counts_einsum(labels_p, b_v, cfg))
     adj = jnp.zeros((gh, gw, 25), jnp.float32)
     for idx, (di, dj) in enumerate(_OFFSETS):
         adj = adj + _shift2d(cnt9[:, :, idx], di, dj)

@@ -99,20 +99,23 @@ def _gaussian_kernel1d(sigma, radius):
 
 
 def gaussian_blur(image, sigma):
-    """Separable Gaussian blur of an (H, W, C) image, edge-padded.
+    """Separable Gaussian blur of an (H, W, C) image.
 
+    Tap radius ``int(4*sigma + 0.5)`` and half-sample-symmetric padding
+    match ``scipy.ndimage.gaussian_filter``'s defaults (``truncate=4``,
+    ``mode='reflect'``), which is what skimage's SLIC pre-smoothing uses.
     Implemented as weighted shifted-slice sums (one fused elementwise pass
     per axis) — no convolution layout churn."""
     if sigma <= 0:
         return image
-    radius = max(1, int(round(3.0 * sigma)))
+    radius = max(1, int(4.0 * sigma + 0.5))
     k = _gaussian_kernel1d(sigma, radius)
     taps = 2 * radius + 1
 
     def conv_axis(arr, axis):
         pad = [(0, 0)] * arr.ndim
         pad[axis] = (radius, radius)
-        x = jnp.pad(arr, pad, mode='edge')
+        x = jnp.pad(arr, pad, mode='symmetric')
         n = arr.shape[axis]
         out = None
         for t in range(taps):
@@ -432,7 +435,10 @@ def segment_slic_img2d(img, sp_size=50, relative_compact=0.1, slico=False,
         # merge-only device pass: single-component superpixels with stable
         # grid ids (reference always enforces, `superpixels.py:61-63`; the
         # native union-find with skimage-style fresh relabeling remains
-        # available as pyimsegm_tpu.native.enforce_connectivity)
+        # available as pyimsegm_tpu.native.enforce_connectivity).  The size
+        # floor matches skimage's ``min_size_factor=0.5`` so tessellation
+        # granularity tracks the reference on high-variance images.
         from pyimsegm_tpu.ops.grid import enforce_grid_connectivity
-        labels = enforce_grid_connectivity(labels, cfg)
+        labels = enforce_grid_connectivity(
+            labels, cfg, min_size=int(0.5 * cfg.step * cfg.step))
     return np.asarray(labels)

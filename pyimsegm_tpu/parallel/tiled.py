@@ -353,8 +353,48 @@ def _local_enforce_connectivity(labels_loc, cfg: SlicConfig, lgh, t0,
         reach_body, (reached0, jnp.bool_(True), 0))
 
     # absorb: labels mutate, exchange both per step
+    labels_loc = _local_absorb_unreached(labels_loc, reached, cfg, t0,
+                                         axis_name, n_dev)
+
+    # min-size merge (skimage semantics): identical replicated donor tables
+    # as the batch path's ops.grid.min_size_merge, so sharded and single-chip
+    # pipelines take the same merge decisions
+    from pyimsegm_tpu.ops.grid import donor_table_from_counts, sym_contact_counts
+    min_size = 0.5 * step * step
     ty = jax.lax.broadcasted_iota(jnp.int32, (hb, wp), 0) // step + t0
     tx = jax.lax.broadcasted_iota(jnp.int32, (hb, wp), 1) // step
+    for _ in range(3):
+        counts = _local_segment_sum(jnp.ones((hb, wp, 1), jnp.float32),
+                                    labels_loc, cfg, lgh, t0, axis_name)[:, 0]
+        raw = _local_pair_counts(labels_loc, cfg, lgh, t0, axis_name, n_dev)
+        sym25 = sym_contact_counts(raw, gh, gw)
+        donor, _small = donor_table_from_counts(counts, sym25, gh, gw,
+                                                min_size)
+        new = _local_table_lookup(donor[:, None].astype(jnp.float32),
+                                  labels_loc, cfg, lgh, t0)[..., 0]
+        new = jnp.round(new).astype(jnp.int32)
+        ok = (jnp.abs(new // gw - ty) <= 1) & (jnp.abs(new % gw - tx) <= 1)
+        labels_loc = jnp.where(ok, new, labels_loc)
+    return labels_loc
+
+
+def _local_absorb_unreached(labels_loc, reached, cfg: SlicConfig, t0,
+                            axis_name, n_dev):
+    """Sharded absorb: unreached pixels adopt an adjacent reached label
+    (within their 3x3 seed window), one boundary-row exchange per step."""
+    gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
+    hb, wp = labels_loc.shape
+    ty = jax.lax.broadcasted_iota(jnp.int32, (hb, wp), 0) // step + t0
+    tx = jax.lax.broadcasted_iota(jnp.int32, (hb, wp), 1) // step
+
+    def _pad_rows(arr, above, below):
+        return jnp.concatenate([above[None], arr, below[None]], axis=0)
+
+    def _nbr(pad2, di, dj, fill):
+        sl = pad2[1 + di:1 + di + hb]
+        padc = jnp.pad(sl, ((0, 0), (max(-dj, 0), max(dj, 0))),
+                       constant_values=fill)
+        return padc[:, max(dj, 0):max(dj, 0) + wp]
 
     def absorb_body(state):
         labels, reached, _, it = state
@@ -426,9 +466,13 @@ def _local_pair_counts(labels_loc, cfg: SlicConfig, lgh, t0, axis_name,
     part_halo = jnp.zeros((lgh + 2, gw, 25), jnp.float32)
     for idx, (di, dj) in enumerate(_OFFSETS):
         part_halo = part_halo + _route_halo(cnt9[:, :, idx], di, dj, gw)
-    adj_raw = _psum_halo(part_halo, cfg, t0, axis_name)
+    return _psum_halo(part_halo, cfg, t0, axis_name)   # raw directed counts
+
+
+def _local_adjacency(labels_loc, cfg: SlicConfig, lgh, t0, axis_name, n_dev):
     from pyimsegm_tpu.ops.grid import _sym_mask_adjacency
-    return _sym_mask_adjacency(adj_raw, gh, gw)
+    adj_raw = _local_pair_counts(labels_loc, cfg, lgh, t0, axis_name, n_dev)
+    return _sym_mask_adjacency(adj_raw, cfg.grid_h, cfg.grid_w)
 
 
 _MOMENT_FLAGS = ('mean', 'std', 'energy')
@@ -486,7 +530,7 @@ def _tiled_pipe_shard(lab_loc, valid_loc, feat_loc, centers0, spatial_w2,
                               sample_weight=mask, seed=seed)
     proba = model.predict_proba(features)
 
-    adj = _local_pair_counts(labels_loc, cfg, lgh, t0, axis_name, n_dev)
+    adj = _local_adjacency(labels_loc, cfg, lgh, t0, axis_name, n_dev)
     wgrid = grid_edge_weights(None, cfg, proba=proba, features=features,
                               edge_type=gc_edge_type, adj=adj,
                               centers=sp_centers)

@@ -69,7 +69,8 @@ def _slic_features_core(image, cfg, feats_spec, compactness,
         from pyimsegm_tpu.ops import grid as grid_ops
         labels = slic_ops.slic_segment(image, cfg, compactness,
                                        n_iter=n_iter, slico=slico)
-        labels = grid_ops.enforce_grid_connectivity(labels, cfg)
+        labels = grid_ops.enforce_grid_connectivity(
+            labels, cfg, min_size=int(0.5 * cfg.step * cfg.step))
         if fuse_key is not None:
             from pyimsegm_tpu.ops import color as color_ops
             img_f = jnp.asarray(image, jnp.float32)
@@ -331,6 +332,12 @@ def train_classif_color2d_slic_features(list_images, list_annots, dict_features,
             annot[annot < 0] = neg_label
         hist = labeling.histogram_regions_labels_norm(
             np.asarray(labels_map), annot, nb_labels=annot.max() + 1)
+        k = np.asarray(counts).shape[0]
+        if hist.shape[0] < k:
+            # the highest grid label(s) can be empty (e.g. merged away by
+            # the min-size connectivity pass); pad to the static capacity
+            hist = np.vstack([hist,
+                              np.zeros((k - hist.shape[0], hist.shape[1]))])
         lbs = np.argmax(hist, axis=1)
         purity = np.max(hist, axis=1)
         if neg_label is not None:
