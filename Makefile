@@ -1,9 +1,13 @@
 # Dev entry points (counterpart of the reference's Makefile).
 
-.PHONY: test test-tpu bench parity native clean
+.PHONY: test test-fast test-tpu bench parity refrun native clean
 
 test:
 	python -m pytest tests/ -q
+
+# fast tier: skips the compile-heavy e2e tests (target < 5 min)
+test-fast:
+	python -m pytest tests/ -q -m "not slow"
 
 # kernel-parity tests on the real chip (needs the TPU tunnel live)
 test-tpu:
@@ -15,6 +19,11 @@ bench:
 # TPU-vs-CPU end-to-end ARS acceptance check (BASELINE: >= 0.98)
 parity:
 	python tools/check_parity.py
+
+# run the ACTUAL reference via tools/refrun shims + score ourselves against it
+refrun:
+	python tools/refrun/run_reference.py all
+	python tools/refrun/compare.py
 
 native:
 	$(MAKE) -C pyimsegm_tpu/native

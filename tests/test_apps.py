@@ -12,6 +12,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from PIL import Image  # noqa: E402
 
+# compile-heavy end-to-end tier (see `make test-fast`)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope='module')
 def tiny_dataset(tmp_path_factory):

@@ -111,6 +111,7 @@ def test_adaboost_separable_blobs():
     assert np.mean(proba.argmax(1) == y) > 0.99
 
 
+@pytest.mark.slow
 def test_adaboost_boosting_actually_reweights():
     """Later rounds must differ from round 0 (the stand-in this replaces
     trained every member on identical weights)."""
@@ -122,6 +123,7 @@ def test_adaboost_boosting_actually_reweights():
     assert not np.allclose(thr[0], thr[-1])
 
 
+@pytest.mark.slow
 def test_boosting_classifier_roundtrip(tmp_path):
     from pyimsegm_tpu.classification import load_classifier, save_classifier
     x, y = _blobs(60)

@@ -10,6 +10,9 @@ import pytest
 from pyimsegm_tpu import centers as ctr
 from pyimsegm_tpu.models.clustering import dbscan
 
+# compile-heavy end-to-end tier (see `make test-fast`)
+pytestmark = pytest.mark.slow
+
 
 def _blob_scene(rng, n_blobs=3, size=(96, 128), radius=12):
     segm = np.zeros(size, dtype=int)

@@ -39,6 +39,7 @@ def test_compute_stat_per_image():
     assert df.iloc[0]['accuracy'] == 1.0
 
 
+@pytest.mark.slow
 def test_feature_scoring_selection():
     rng = np.random.RandomState(0)
     n = 300

@@ -76,6 +76,7 @@ def _run_pallas_interpret(labels, cfg):
     return got[:h, :w]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize('shape,sp', [((96, 128), 16), ((300, 150), 24)])
 def test_reach_absorb_matches_xla(shape, sp):
     import jax.numpy as jnp

@@ -90,6 +90,7 @@ def test_split_segm_background_foreground():
     assert not np.any(seg_bg & seg_fg)
 
 
+@pytest.mark.slow
 def test_ransac_segm_recovers_ellipse():
     np.random.seed(0)
     seg = np.zeros((120, 150), dtype=int)
@@ -131,6 +132,7 @@ def test_boundary_point_extractors():
         assert np.median(np.abs(model.residuals(pts))) < 2.5
 
 
+@pytest.mark.slow
 def test_prepare_boundary_points_close():
     seg = np.zeros((100, 200), dtype=int)
     seg = ef.add_overlap_ellipse(seg, (50, 100, 40, 60, np.deg2rad(30)), 1)

@@ -15,6 +15,9 @@ from jax.sharding import Mesh
 
 from pyimsegm_tpu.parallel import batch as pbatch
 
+# compile-heavy end-to-end tier (see `make test-fast`)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope='module')
 def mesh():

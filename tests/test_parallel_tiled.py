@@ -8,6 +8,9 @@ from pyimsegm_tpu.ops import slic as slic_ops
 from pyimsegm_tpu.parallel.tiled import slic_segment_sharded
 from pyimsegm_tpu.utils.metrics import adjusted_rand_score
 
+# compile-heavy end-to-end tier (see `make test-fast`)
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 virtual devices')
 def test_sharded_slic_matches_single_device(rng):

@@ -4,6 +4,10 @@ import numpy as np
 
 from pyimsegm_tpu import pipelines
 from pyimsegm_tpu.ops.slic3d import segment_slic_img3d_gray
+import pytest
+
+# compile-heavy end-to-end tier (see `make test-fast`)
+pytestmark = pytest.mark.slow
 
 
 def test_slic3d_segments_volume(rng):

@@ -28,6 +28,7 @@ def test_pipe_unsup_shapes_and_quality():
     np.testing.assert_allclose(soft.sum(-1), 1.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pipe_unsup_argmax_shortcut():
     img, truth = _half_image(seed=1)
     segm, _ = pipelines.pipe_color2d_slic_features_model_graphcut(
@@ -35,6 +36,7 @@ def test_pipe_unsup_argmax_shortcut():
     assert adjusted_rand_score(segm, truth) > 0.9
 
 
+@pytest.mark.slow
 def test_group_model_and_segment():
     img, truth = _half_image(seed=2)
     model, feats = pipelines.estim_model_classes_group([img, img], 2,
@@ -49,6 +51,7 @@ def test_group_model_and_segment():
     assert adjusted_rand_score(segm, truth) > 0.9
 
 
+@pytest.mark.slow
 def test_compute_superpixels_features():
     img, _ = _half_image(seed=3)
     slic, features = pipelines.compute_color2d_superpixels_features(
@@ -68,6 +71,7 @@ def test_pipeline_rejects_nonpositive_regul():
 
 @pytest.mark.skipif(not data_samples.has_sample_data(),
                     reason='bundled sample images not available')
+@pytest.mark.slow
 def test_unsup_pipeline_on_real_ovary_image():
     img = data_samples.load_sample_image()
     segm, soft = pipelines.pipe_color2d_slic_features_model_graphcut(
@@ -80,6 +84,7 @@ def test_unsup_pipeline_on_real_ovary_image():
     assert adjusted_rand_score(segm, annot) > 0.15
 
 
+@pytest.mark.slow
 def test_segment_with_trained_classifier():
     """The public segment entry must accept a trained classifier (reference
     `pipelines.py:224-240`): predict_proba + classes_ relabelling."""

@@ -31,6 +31,7 @@ def test_slic_shapes_and_range():
     assert labels.min() >= 0 and labels.max() < cfg.n_segments
 
 
+@pytest.mark.slow
 def test_slic_gray_input():
     rng = np.random.default_rng(0)
     img = rng.random((150, 100)).astype(np.float32)
@@ -38,6 +39,7 @@ def test_slic_gray_input():
     assert labels.shape == (150, 100)
 
 
+@pytest.mark.slow
 def test_slic_compact_superpixels_are_local():
     """With strong regularisation, superpixels stay near their seed tiles."""
     rng = np.random.default_rng(1)
@@ -54,6 +56,7 @@ def test_slic_compact_superpixels_are_local():
         assert np.abs(xs[sel] - cx).max() < 45
 
 
+@pytest.mark.slow
 def test_slic_respects_color_boundaries():
     """Superpixels should not straddle a sharp color boundary."""
     img, seg = data_samples.sample_color_image_rand_segment((90, 120), 3, rand_seed=0)
@@ -66,6 +69,7 @@ def test_slic_respects_color_boundaries():
     assert np.mean(purity) > 0.95
 
 
+@pytest.mark.slow
 def test_slic_slico_variant_runs():
     rng = np.random.default_rng(2)
     img = rng.random((80, 80, 3)).astype(np.float32)
@@ -75,6 +79,7 @@ def test_slic_slico_variant_runs():
     assert len(np.unique(labels)) > 4
 
 
+@pytest.mark.slow
 def test_slic_upsamples_pixel_labels_consistently():
     """Pixel -> superpixel map must reconstruct classwise segmentation well."""
     img, seg = data_samples.sample_color_image_rand_segment((120, 150), 3, rand_seed=3)

@@ -20,6 +20,9 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+# compile-heavy end-to-end tier (see `make test-fast`)
+pytestmark = pytest.mark.slow
+
 
 def _labels_pallas(vol, cfg, m, interpret):
     """Run slic3d_segment on the Pallas backend, asserting it executed."""

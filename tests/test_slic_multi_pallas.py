@@ -13,8 +13,10 @@ tests were vacuous exactly that way — see ADVICE.md r1).
 from unittest import mock
 
 import numpy as np
+import pytest
 
 
+@pytest.mark.slow
 def test_slic_multi_update_matches_xla_end_to_end():
     import jax
     import jax.numpy as jnp

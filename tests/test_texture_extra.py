@@ -4,6 +4,7 @@ import numpy as np
 
 from pyimsegm_tpu import descriptors
 from pyimsegm_tpu.ops import filters as filter_ops
+import pytest
 
 
 def _stripe_scene(rng):
@@ -28,6 +29,7 @@ def test_gabor_bank_shapes():
     assert abs(bank.kernels.sum()) < 0.2
 
 
+@pytest.mark.slow
 def test_gabor_features_separate_texture(rng):
     img, seg = _stripe_scene(rng)
     feats, names = descriptors.compute_selected_features_color2d(
