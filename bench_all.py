@@ -1,0 +1,217 @@
+"""Wall-clock benchmarks for ALL FIVE BASELINE.json configs on one chip.
+
+`bench.py` remains the driver's single-line headline (config 3, batched
+throughput).  This harness adds the other four reference workloads
+(BASELINE.json `configs`), printing one JSON line per config plus a
+markdown summary to stderr:
+
+1. unsupervised single drosophila_ovary_slice image
+   (`run_segm_slic_model_graphcut` semantics)
+2. supervised drosophila_disc with color + Gabor + LBP texture features
+   (`run_segm_slic_classif_graphcut` semantics)
+3. batched unsupervised throughput (delegates to bench.py's measurement)
+4. egg-center detection chain per image (`run_center_prediction` semantics)
+5. RG2Sp GraphCut region growing per iteration
+   (`run_ovary_egg-segmentation` semantics)
+
+Usage: ``python bench_all.py [--configs 1,2,4,5]``
+"""
+
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+DATA = os.environ.get('PYIMSEGM_DATA_PATH', '/root/reference/data-images')
+FEATS_COLOR = {'color': ['mean', 'std', 'energy']}
+SP_SIZE, SP_REGUL, GC_REGUL, NB_CLASSES = 35, 0.2, 2.0, 3
+
+
+def _imread(path):
+    from PIL import Image
+    return np.asarray(Image.open(path))
+
+
+def _emit(name, value, unit, extra=None):
+    row = {'metric': name, 'value': round(float(value), 3), 'unit': unit}
+    if extra:
+        row.update(extra)
+    print(json.dumps(row), flush=True)
+
+
+def bench_unsup_single():
+    """Config 1: one 1024x647 ovary slice, per-image GMM, model edges."""
+    import jax
+
+    from pyimsegm_tpu import pipelines
+
+    img = _imread(os.path.join(DATA, 'drosophila_ovary_slice', 'image',
+                               'insitu7545.jpg'))
+
+    def run():
+        segm, soft = pipelines.pipe_color2d_slic_features_model_graphcut(
+            img, NB_CLASSES, FEATS_COLOR, sp_size=SP_SIZE, sp_regul=SP_REGUL,
+            gc_regul=GC_REGUL, gc_edge_type='model')
+        return segm
+
+    run()                                        # compile
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run()
+    dt = (time.perf_counter() - t0) / reps
+    mpix = img.shape[0] * img.shape[1] / 1e6
+    _emit('cfg1_unsup_single_image', mpix / dt, 'MPix/s',
+          {'wall_ms': round(dt * 1e3, 2), 'note': 'incl. per-image GMM fit'})
+    del out
+
+
+def bench_supervised():
+    """Config 2: drosophila_disc, color + Gabor + LBP texture, RandForest."""
+    from pyimsegm_tpu import pipelines
+
+    img_dir = os.path.join(DATA, 'drosophila_disc')
+    paths_img = sorted(glob.glob(os.path.join(img_dir, 'image', 'img_*.jpg')))
+    imgs, annots = [], []
+    for p in paths_img[:4]:
+        name = os.path.splitext(os.path.basename(p))[0]
+        ap = os.path.join(img_dir, 'annot', name + '.png')
+        if os.path.isfile(ap):
+            imgs.append(_imread(p))
+            annot = _imread(ap)
+            if annot.ndim == 3:                  # RGB-coded annotation
+                from pyimsegm_tpu.annotation import image_color_2_labels
+                annot = image_color_2_labels(annot)
+            annots.append(annot)
+    feats = {'color': ['mean', 'std', 'energy'],
+             'tGabor': ['mean', 'energy'], 'tLBP': ['mean']}
+
+    t0 = time.perf_counter()
+    classif, _, _, _ = pipelines.train_classif_color2d_slic_features(
+        imgs, annots, feats, sp_size=SP_SIZE, sp_regul=SP_REGUL,
+        nb_classif_search=3)
+    t_train = time.perf_counter() - t0
+
+    def run():
+        return pipelines.segment_color2d_slic_features_model_graphcut(
+            imgs[0], classif, feats, sp_size=SP_SIZE, sp_regul=SP_REGUL,
+            gc_regul=5.0, gc_edge_type='model')[0]
+
+    run()
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        run()
+    dt = (time.perf_counter() - t0) / reps
+    mpix = imgs[0].shape[0] * imgs[0].shape[1] / 1e6
+    _emit('cfg2_supervised_predict', mpix / dt, 'MPix/s',
+          {'wall_ms': round(dt * 1e3, 2),
+           'train_s': round(t_train, 2),
+           'features': 'color+Gabor+LBP'})
+
+
+def bench_headline():
+    """Config 3: delegate to bench.py (the driver's single-line metric)."""
+    import subprocess
+    out = subprocess.run([sys.executable, 'bench.py'], capture_output=True,
+                         text=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith('{')]
+    if line:
+        row = json.loads(line[-1])
+        row['metric'] = 'cfg3_' + row['metric']
+        print(json.dumps(row), flush=True)
+    else:
+        print(out.stderr[-500:], file=sys.stderr)
+
+
+def bench_centers():
+    """Config 4: center detection predict path per ovary image."""
+    from pyimsegm_tpu import centers as ctr
+    from pyimsegm_tpu import superpixels
+
+    base = os.path.join(DATA, 'drosophila_ovary_slice')
+    names = ['insitu4174', 'insitu4358']
+    imgs = [_imread(os.path.join(base, 'image', n + '.jpg')) for n in names]
+    segms = [_imread(os.path.join(base, 'segm', n + '.png')) for n in names]
+    cents = [np.argwhere(_imread(os.path.join(
+        base, 'center_levels', n + '.png')) > 0)[::50] for n in names]
+
+    classif, _ = ctr.train_center_classifier(segms, imgs, cents)
+
+    def run():
+        return ctr.load_compute_detect_centers(imgs[0], segms[0], classif)
+
+    run()
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        run()
+    dt = (time.perf_counter() - t0) / reps
+    _emit('cfg4_center_detection_per_image', dt * 1e3, 'ms/image',
+          {'note': 'SLIC grid points + annuli hists + rays + forest + DBSCAN'})
+
+
+def bench_rg2sp():
+    """Config 5: RG2Sp GraphCut per-iteration cost on insitu7545."""
+    from pyimsegm_tpu import region_growing as rg
+    from pyimsegm_tpu import superpixels
+
+    base = os.path.join(DATA, 'drosophila_ovary_slice')
+    img = _imread(os.path.join(base, 'image', 'insitu7545.jpg'))
+    seg = _imread(os.path.join(base, 'segm', 'insitu7545.png'))
+    annot = _imread(os.path.join(base, 'annot_eggs', 'insitu7545.png'))
+    centres = np.array([np.mean(np.argwhere(annot == lb), axis=0)
+                        for lb in range(1, annot.max() + 1)])
+    ann_paths = sorted(glob.glob(os.path.join(base, 'annot_eggs', '*.png')))
+    annots = [_imread(p) for p in ann_paths]
+    list_rays, _ = rg.compute_object_shapes(annots, ray_step=25,
+                                            smooth_coef=1,
+                                            interp_order='spline')
+    model, cdfs = rg.transform_rays_model_cdf_mixture(list_rays)
+    slic = superpixels.segment_slic_img2d(img, sp_size=15,
+                                          relative_compact=0.2)
+    prob_fg = rg.compute_segm_prob_fg(slic, seg, [0.1, 0.9, 0.75, 0.9, 0.9])
+
+    n_warm, n_meas = 2, 10
+
+    def run(nb_iter):
+        return rg.region_growing_shape_slic_graphcut(
+            slic, prob_fg, centres, (model, cdfs), 'cdf',
+            coef_shape=5., coef_pairwise=15., prob_label_trans=[0.1, 0.03],
+            optim_global=True, nb_iter=nb_iter)
+
+    run(n_warm)                                   # compile
+    t0 = time.perf_counter()
+    run(n_warm)
+    t_warm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run(n_warm + n_meas)
+    t_full = time.perf_counter() - t0
+    per_iter = (t_full - t_warm) / n_meas
+    _emit('cfg5_rg2sp_gc_per_iteration', per_iter * 1e3, 'ms/iteration',
+          {'objects': int(len(centres)), 'superpixels': int(slic.max() + 1)})
+
+
+def main():
+    cfgs = '1,2,3,4,5'
+    for i, a in enumerate(sys.argv):
+        if a == '--configs':
+            cfgs = sys.argv[i + 1]
+    cfgs = set(cfgs.split(','))
+    if '1' in cfgs:
+        bench_unsup_single()
+    if '2' in cfgs:
+        bench_supervised()
+    if '3' in cfgs:
+        bench_headline()
+    if '4' in cfgs:
+        bench_centers()
+    if '5' in cfgs:
+        bench_rg2sp()
+
+
+if __name__ == '__main__':
+    main()
