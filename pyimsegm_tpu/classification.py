@@ -348,16 +348,108 @@ def convert_set_features_labels_2_dataset(dict_features, dict_labels,
 
 # ------------------------------------------------------ search/train/export ---
 
+#: classifiers whose (fit, predict) pair is vmappable over CV folds
+_FOLD_BATCHED_CLFS = ('RandForest', 'DecTree', 'GradBoost', 'LogistRegr',
+                      'SVM', 'MLP')
+
+
+def _fold_batched_fit_predict(clf_name, hyper):
+    """(fit(key, x, y, w, C) -> params, predict(params, x) -> proba)."""
+    h = hyper
+    # predict closures take the tree depth statically: inside the vmapped
+    # fold program the fitted params' depth leaf is a tracer, so the host
+    # predict wrappers (which call int(params.depth)) cannot be used
+    if clf_name in ('RandForest', 'DecTree'):
+        kw = (dict(n_trees=1, depth=h.get('depth', 12),
+                   n_candidates=h.get('n_candidates', 32), bootstrap=False)
+              if clf_name == 'DecTree' else
+              dict(n_trees=h.get('n_trees', 32), depth=h.get('depth', 8),
+                   n_candidates=h.get('n_candidates', 8)))
+        return (lambda key, x, y, w, c: forest_mod.forest_fit(
+                    key, x, y, w, c, **kw),
+                lambda p, x: forest_mod._forest_predict_jit(
+                    p.feat, p.thr, p.leaf_proba, kw['depth'], x))
+    if clf_name == 'GradBoost':
+        kw = dict(n_rounds=h.get('n_rounds', 64), depth=h.get('depth', 4),
+                  learning_rate=h.get('learning_rate', 0.1),
+                  n_bins=h.get('n_bins', 64))
+        return (lambda key, x, y, w, c: gbt_mod.gbt_fit(x, y, w, c, **kw),
+                lambda p, x: jax.nn.softmax(gbt_mod._gbt_raw_scores(
+                    p.feat, p.thr, p.leaf, p.base_score, p.learning_rate,
+                    kw['depth'], x), axis=-1))
+    if clf_name == 'LogistRegr':
+        kw = dict(l2=h.get('l2', 1e-4), steps=h.get('steps', 300))
+        return (lambda key, x, y, w, c: linear_mod.logistic_fit(
+                    key, x, y, w, c, **kw),
+                linear_mod.logistic_predict_proba)
+    if clf_name == 'SVM':
+        kw = dict(c_reg=h.get('C', 1.0), steps=h.get('steps', 400))
+        return (lambda key, x, y, w, c: linear_mod.linear_svm_fit(
+                    key, x, y, w, c, **kw),
+                linear_mod.logistic_predict_proba)
+    if clf_name == 'MLP':
+        kw = dict(hidden=h.get('hidden', 64), steps=h.get('steps', 500))
+        return (lambda key, x, y, w, c: linear_mod.mlp_fit(
+                    key, x, y, w, c, **kw),
+                linear_mod.mlp_predict_proba)
+    raise ValueError(clf_name)
+
+
+def _eval_cv_scores_fold_batched(clf_name, features, labels, folds, seed,
+                                 hyper):
+    """All CV folds fitted/scored in ONE vmapped device program.
+
+    Every fold sees the full (N, F) matrix; membership is expressed purely
+    through per-fold sample weights (train rows 1, test rows 0), so all
+    folds share static shapes and ``jax.vmap`` batches the whole
+    fit+predict+score chain — the TPU replacement for the reference's
+    joblib ``n_jobs`` search parallelism (`classification.py:1004-1023`).
+    """
+    x = np.asarray(features, np.float32)
+    classes = np.unique(labels)
+    y = np.searchsorted(classes, labels).astype(np.int32)
+    n, _ = x.shape
+    w_tr = np.zeros((len(folds), n), np.float32)
+    for i, (train_idx, _test) in enumerate(folds):
+        w_tr[i, np.asarray(train_idx, int)] = 1.0
+
+    fit, predict = _fold_batched_fit_predict(clf_name, hyper)
+    xd, yd = jnp.asarray(x), jnp.asarray(y)
+
+    def one_fold(key, w):
+        wsum = jnp.maximum(jnp.sum(w), 1.0)
+        mu = jnp.sum(xd * w[:, None], axis=0) / wsum
+        sd = jnp.sqrt(jnp.sum(((xd - mu) ** 2) * w[:, None], axis=0)
+                      / wsum) + 1e-12
+        xs = (xd - mu) / sd
+        params = fit(key, xs, yd, w, len(classes))
+        pred = jnp.argmax(predict(params, xs), axis=-1)
+        test_w = 1.0 - w
+        hits = jnp.sum((pred == yd) * test_w)
+        return hits / jnp.maximum(jnp.sum(test_w), 1.0)
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(folds))
+    accs = jax.jit(jax.vmap(one_fold))(keys, jnp.asarray(w_tr))
+    return [float(a) for a in np.asarray(accs)]
+
+
 def eval_classif_cross_val_scores(clf_name, features, labels, cross_val=10,
                                   pca_coef=None, seed=0, **hyper):
-    """Accuracy per CV fold (`classification.py:762-848` condensed)."""
+    """Accuracy per CV fold (`classification.py:762-848` condensed).
+
+    For the fold-batchable classifiers (no PCA) all folds run as one
+    vmapped device program; otherwise a host loop."""
     features = np.asarray(features)
     labels = np.asarray(labels)
     if isinstance(cross_val, int):
         cross_val = CrossValidate(len(labels), max(1, len(labels) // cross_val),
                                   rand_seed=seed)
+    folds = list(cross_val)
+    if pca_coef is None and clf_name in _FOLD_BATCHED_CLFS:
+        return _eval_cv_scores_fold_batched(clf_name, features, labels,
+                                            folds, seed, hyper)
     scores = []
-    for train_idx, test_idx in cross_val:
+    for train_idx, test_idx in folds:
         clf = Classifier(clf_name, pca_coef=pca_coef, seed=seed, **hyper)
         clf.fit(features[train_idx], labels[train_idx])
         scores.append(clf.score(features[test_idx], labels[test_idx]))

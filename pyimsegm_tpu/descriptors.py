@@ -149,10 +149,30 @@ def compute_selected_features_img2d(image, seg_ids, num_segments, dict_features,
 
 def compute_selected_features_gray2d(image, seg_ids, num_segments, dict_features,
                                      grid_ctx=None):
-    """Gray 2D features via the 3D path with a singleton z axis
-    (`descriptors.py:1171-1204`)."""
-    return compute_selected_features_gray3d(image[None], seg_ids, num_segments,
-                                            dict_features)
+    """Gray 2D features (`descriptors.py:1171-1204`).
+
+    With ``grid_ctx`` the intensity statistics take the scatter-free
+    grid reduction (single-channel :func:`compute_channel_statistics`),
+    matching the color path's fast path; texture batteries and the
+    no-context case go through the 3D formulation with a singleton z."""
+    color_keys = [k for k in dict_features if k.startswith('color')]
+    other = {k: v for k, v in dict_features.items() if k not in color_keys}
+    if grid_ctx is None or not color_keys:
+        return compute_selected_features_gray3d(image[None], seg_ids,
+                                                num_segments, dict_features)
+    flags = tuple(np.unique(np.concatenate(
+        [list(dict_features[k]) for k in color_keys])))
+    flags = tuple(f for f in NAMES_FEATURE_FLAGS if f in flags)
+    image = jnp.asarray(image, jnp.float32)
+    feats = [segment_stats.compute_channel_statistics(
+        image[..., None], seg_ids, num_segments, flags, grid_ctx=grid_ctx)]
+    names = ['gray_%s' % f for f in flags]
+    if other:
+        f3, n3 = compute_selected_features_gray3d(image[None], seg_ids,
+                                                  num_segments, other)
+        feats.append(f3)
+        names += n3
+    return jnp.nan_to_num(jnp.concatenate(feats, axis=-1)), names
 
 
 def compute_selected_features_gray3d(volume, seg_ids, num_segments,

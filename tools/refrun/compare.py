@@ -188,10 +188,13 @@ def compare_sup(out_dir):
 
 
 def compare_rg2sp(out_dir):
-    """RG2Sp: both solvers vs the reference's, and both vs the human
-    per-egg annotation (the metric that matters for the method)."""
+    """RG2Sp: our solvers vs the reference's on the same image, same shape
+    model family and parameters (the reference's own test recipe), plus
+    both sides vs the human per-egg annotation."""
     import jax.numpy as jnp
 
+    from pyimsegm_tpu import region_growing as rg
+    from pyimsegm_tpu import superpixels
     from pyimsegm_tpu.utils.metrics import adjusted_rand_score
 
     path = os.path.join(out_dir, 'rg2sp_insitu7545.npz')
@@ -199,15 +202,52 @@ def compare_rg2sp(out_dir):
         return []
     npz = np.load(path)
     annot = npz['annot']
+
+    data = os.environ.get('PYIMSEGM_DATA_PATH', '/root/reference/data-images')
+    base = os.path.join(data, 'drosophila_ovary_slice')
+    img = _load_image(os.path.join(base, 'image', 'insitu7545.jpg'))
+    seg = _load_image(os.path.join(base, 'segm', 'insitu7545.png'))
+    centres = np.array([np.mean(np.argwhere(annot == lb), axis=0)
+                        for lb in range(1, annot.max() + 1)])
+    import glob as _glob
+    annots = [_load_image(p) for p in sorted(_glob.glob(
+        os.path.join(base, 'annot_eggs', '*.png')))]
+    list_rays, _ = rg.compute_object_shapes(annots, ray_step=25,
+                                            smooth_coef=1,
+                                            interp_order='spline')
+    model, list_mean_cdf = rg.transform_rays_model_sets_mean_cdf_mixture(
+        list_rays, 2)
+    slic = superpixels.segment_slic_img2d(img, sp_size=15,
+                                          relative_compact=0.2)
+    prob_fg = rg.compute_segm_prob_fg(slic, seg, [0.1, 0.9, 0.75, 0.9, 0.9])
+
+    ours = {}
+    ours['greedy'] = np.asarray(rg.region_growing_shape_slic_greedy(
+        slic, prob_fg, centres, (model, list_mean_cdf), 'set_cdfs',
+        coef_shape=5., coef_pairwise=15., prob_label_trans=[0.1, 0.03],
+        greedy_tol=3e-1, allow_obj_swap=False, nb_iter=250))[slic]
+    ours['gc'] = np.asarray(rg.region_growing_shape_slic_graphcut(
+        slic, prob_fg, centres, (model, list_mean_cdf), 'set_cdfs',
+        coef_shape=5., coef_pairwise=15., prob_label_trans=[0.1, 0.03],
+        optim_global=False, allow_obj_swap=False, nb_iter=65))[slic]
+
     rows = []
     for solver in ('greedy', 'gc'):
         ref = npz['segm_%s' % solver]
         ars_ref_annot = float(adjusted_rand_score(
             jnp.asarray(annot).ravel(), jnp.asarray(ref).ravel()))
+        ars_ours_annot = float(adjusted_rand_score(
+            jnp.asarray(annot).ravel(), jnp.asarray(ours[solver]).ravel()))
+        ars_cross = float(adjusted_rand_score(
+            jnp.asarray(ref).ravel(), jnp.asarray(ours[solver]).ravel()))
         rows.append(dict(config='rg2sp_%s' % solver, image='insitu7545',
-                         reference_ars_vs_annot=round(ars_ref_annot, 4)))
-        print('rg2sp %-8s reference-vs-annot ARS %.4f'
-              % (solver, ars_ref_annot), flush=True)
+                         reference_ars_vs_annot=round(ars_ref_annot, 4),
+                         ours_ars_vs_annot=round(ars_ours_annot, 4),
+                         ars_ours_vs_reference=round(ars_cross, 4)))
+        print('rg2sp %-8s ref-vs-annot %.4f   ours-vs-annot %.4f   '
+              'ours-vs-ref %.4f'
+              % (solver, ars_ref_annot, ars_ours_annot, ars_cross),
+              flush=True)
     return rows
 
 

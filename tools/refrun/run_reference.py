@@ -165,15 +165,42 @@ def run_sup(out_dir):
         print('wrote %s' % out)
 
 
+def _patch_rg2sp_numpy2():
+    """numpy >= 1.24 refuses the ragged ``np.array(slic_neighbours)`` in
+    `imsegm/region_growing.py:1104`; re-install the function with
+    ``dtype=object`` added — behaviour is otherwise identical (legacy numpy
+    auto-created the object array)."""
+    import numpy as _np
+
+    import imsegm.region_growing as _rg
+
+    def get_neighboring_candidates(slic_neighbours, labels, object_idx,
+                                   use_other_obj=True):
+        neighbours = []
+        ragged = _np.empty(len(slic_neighbours), dtype=object)
+        ragged[:] = slic_neighbours
+        for l_idx in ragged[_np.asarray(labels) == object_idx]:
+            neighbours += list(l_idx)
+        neighbours = _np.unique(neighbours)
+        if use_other_obj:
+            neighbours = [lb for lb in neighbours if labels[lb] != object_idx]
+        else:
+            neighbours = [lb for lb in neighbours if labels[lb] == 0]
+        return neighbours
+
+    _rg.get_neighboring_candidates = get_neighboring_candidates
+
+
 def run_rg2sp(out_dir):
     """Reference RG2Sp (both solvers) on insitu7545, following the
     reference's own test recipe (`/root/reference/tests/test_region-growing.py`)."""
+    _patch_rg2sp_numpy2()
     from imsegm.region_growing import (
         compute_object_shapes,
         compute_segm_prob_fg,
         region_growing_shape_slic_graphcut,
         region_growing_shape_slic_greedy,
-        transform_rays_model_cdf_mixture,
+        transform_rays_model_sets_mean_cdf_mixture,
     )
     from imsegm.superpixels import segment_slic_img2d
 
@@ -195,22 +222,25 @@ def run_rg2sp(out_dir):
             list_annots.append(_imread(os.path.join(ann_dir, fname)))
     list_rays, _ = compute_object_shapes(list_annots, ray_step=25,
                                          smooth_coef=1, interp_order='spline')
-    model, cdfs = transform_rays_model_cdf_mixture(list_rays)
+    model, list_mean_cdf = transform_rays_model_sets_mean_cdf_mixture(
+        list_rays, 2)
 
     slic = segment_slic_img2d(img, sp_size=15, relative_compact=0.2)
     slic_prob_fg = compute_segm_prob_fg(slic, seg, [0.1, 0.9, 0.75, 0.9, 0.9])
 
+    # parameters follow the reference's own test
+    # (`/root/reference/tests/test_region-growing.py:135-201`)
     dict_debug = None
     labels_greedy = region_growing_shape_slic_greedy(
-        slic, slic_prob_fg, centers, (model, cdfs), 'set_cdfs',
-        coef_shape=2., coef_pairwise=5., prob_label_trans=[0.1, 0.03],
-        greedy_tol=3e-1, allow_obj_swap=True, dict_thresholds=None,
+        slic, slic_prob_fg, centers, (model, list_mean_cdf), 'set_cdfs',
+        coef_shape=5., coef_pairwise=15., prob_label_trans=[0.1, 0.03],
+        greedy_tol=3e-1, allow_obj_swap=False, dict_thresholds=None,
         nb_iter=250, debug_history=dict_debug)
     print('greedy done: %d objects' % labels_greedy.max())
     labels_gc = region_growing_shape_slic_graphcut(
-        slic, slic_prob_fg, centers, (model, cdfs), 'set_cdfs',
+        slic, slic_prob_fg, centers, (model, list_mean_cdf), 'set_cdfs',
         coef_shape=5., coef_pairwise=15., prob_label_trans=[0.1, 0.03],
-        optim_global=True, allow_obj_swap=True, dict_thresholds=None,
+        optim_global=False, allow_obj_swap=False, dict_thresholds=None,
         nb_iter=65, debug_history=dict_debug)
     print('graphcut done: %d objects' % labels_gc.max())
     out = os.path.join(out_dir, 'rg2sp_insitu7545.npz')
