@@ -37,15 +37,21 @@ _LOG2PI = 1.8378770664093453
 
 @full_precision
 def _cavi_fit_single(key, x, w, n_classes, max_iter, alpha0, beta0,
-                     reg_covar):
-    """One CAVI run from a k-means++-seeded responsibility matrix."""
+                     reg_covar, diag=False):
+    """One CAVI run from a k-means++-seeded responsibility matrix.
+
+    With ``diag=True`` the Wishart scale is diagonalised every m-step (the
+    mean-field counterpart of sklearn's ``covariance_type='diag'``)."""
     n, d = x.shape
+    eye = jnp.eye(d)
     nu0 = jnp.float32(d)
     # prior mean/scale from the (weighted) data
     n_eff = jnp.maximum(jnp.sum(w), 1.0)
     m0 = jnp.sum(x * w[:, None], axis=0) / n_eff
     xc = (x - m0) * jnp.sqrt(w)[:, None]
     data_cov = xc.T @ xc / n_eff + reg_covar * jnp.eye(d)
+    if diag:
+        data_cov = data_cov * eye
     # E[Lambda] under the prior = nu0 * W0 = inv(data_cov)  (sklearn's
     # covariance_prior default is the empirical covariance)
     w0_inv = data_cov * nu0
@@ -70,6 +76,8 @@ def _cavi_fit_single(key, x, w, n_classes, max_iter, alpha0, beta0,
         winv = (w0_inv[None] + nk[:, None, None] * s
                 + (beta0 * nk / beta)[:, None, None]
                 * dm[:, :, None] * dm[:, None, :])
+        if diag:
+            winv = winv * eye[None]
         nu = nu0 + nk
         return alpha, beta, m, winv, nu
 
@@ -107,9 +115,10 @@ def _cavi_fit_single(key, x, w, n_classes, max_iter, alpha0, beta0,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('n_classes', 'n_init', 'max_iter'))
+                   static_argnames=('n_classes', 'n_init', 'max_iter',
+                                    'diag'))
 def bgm_fit(key, x, sample_weight, n_classes, n_init=4, max_iter=99,
-            alpha0=None, beta0=1.0, reg_covar=1e-6):
+            alpha0=None, beta0=1.0, reg_covar=1e-6, diag=False):
     """Fit the variational Bayesian GMM; restarts vmapped, best by score.
 
     :param x: (N, D) float32
@@ -123,7 +132,7 @@ def bgm_fit(key, x, sample_weight, n_classes, n_init=4, max_iter=99,
     keys = jax.random.split(key, n_init)
     params = jax.vmap(lambda k: _cavi_fit_single(
         k, x, w, n_classes, max_iter, jnp.float32(alpha0),
-        jnp.float32(beta0), jnp.float32(reg_covar)))(keys)
+        jnp.float32(beta0), jnp.float32(reg_covar), diag=diag))(keys)
     scores = jax.vmap(lambda p: gmm_score(p, x, w))(params)
     # NaN-robust restart selection (matches gmm_fit)
     scores = jnp.where(jnp.isnan(scores), -jnp.inf, scores)

@@ -334,12 +334,18 @@ def _fit_gmm(rays, n_components, diag=False, seed=0):
 
 
 def transform_rays_model_cdf_mixture(list_rays, coef_components=1):
-    """Mixture-of-Gaussians shape model -> survival table
-    (`region_growing.py:364-401`); component count from mean-shift modes."""
+    """Bayesian mixture shape model -> survival table
+    (`region_growing.py:364-401`); component count from mean-shift modes,
+    fitted with the CAVI variational BGM like the reference's
+    ``BayesianGaussianMixture`` (see the sets_mean variant for why)."""
+    from pyimsegm_tpu.models.bgm import bgm_fit
     rays = np.asarray(list_rays, float)
     _, ms_labels = clustering.mean_shift(rays)
-    nb_components = max(1, len(np.unique(ms_labels)) * coef_components)
-    params = _fit_gmm(rays, nb_components)
+    nb_components = max(1, min(len(np.unique(ms_labels)) * coef_components,
+                               len(rays)))
+    params = bgm_fit(jax.random.PRNGKey(0), jnp.asarray(rays, jnp.float32),
+                     jnp.ones(len(rays), jnp.float32), int(nb_components),
+                     n_init=4, max_iter=99)
     model = GMMShapeModel(params)
     stds = np.sqrt(np.abs(np.diagonal(model.covariances_, axis1=1, axis2=2)))
     max_dist = np.max(model.means_ + stds)
@@ -355,10 +361,20 @@ def _smooth1d(x, sigma=1.0):
 
 def transform_rays_model_sets_mean_cdf_mixture(list_rays, nb_components=5,
                                                slic_size=15):
-    """Diagonal mixture -> per-component (mean, survival table) sets
-    (`region_growing.py:404-438`)."""
+    """Diagonal Bayesian mixture -> per-component (mean, survival table)
+    sets (`region_growing.py:404-438`).
+
+    The reference fits ``BayesianGaussianMixture(covariance_type='diag')``;
+    this uses the CAVI variational BGM (``models/bgm``, diag mode) — the
+    round-2 side-by-side showed the mixture fit is what separates RG2Sp
+    quality (ARS 0.73 with a plain kmeans/GMM fit vs 0.85 with the
+    reference's Bayesian fit on identical solver inputs)."""
+    from pyimsegm_tpu.models.bgm import bgm_fit
     rays = np.asarray(list_rays, float)
-    params = _fit_gmm(rays, nb_components, diag=True)
+    nb_components = max(1, min(int(nb_components), len(rays)))
+    params = bgm_fit(jax.random.PRNGKey(0), jnp.asarray(rays, jnp.float32),
+                     jnp.ones(len(rays), jnp.float32), nb_components,
+                     n_init=4, max_iter=99, diag=True)
     model = GMMShapeModel(params)
     list_mean_cdf = []
     for mean, covar in zip(model.means_, model.covariances_):

@@ -244,11 +244,22 @@ def run_rg2sp(out_dir):
         nb_iter=65, debug_history=dict_debug)
     print('graphcut done: %d objects' % labels_gc.max())
     out = os.path.join(out_dir, 'rg2sp_insitu7545.npz')
-    np.savez_compressed(
-        out, slic=slic.astype(np.int32),
+    payload = dict(
+        slic=slic.astype(np.int32),
         segm_greedy=np.asarray(labels_greedy)[slic].astype(np.int32),
         segm_gc=np.asarray(labels_gc)[slic].astype(np.int32),
-        annot=annot.astype(np.int32))
+        annot=annot.astype(np.int32),
+        # the fitted shape mixture (sklearn BayesianGaussianMixture, diag)
+        # + per-component (mean, survival-table) sets, for shared-model
+        # replay through the TPU solvers
+        model_weights=np.asarray(model.weights_, np.float64),
+        model_means=np.asarray(model.means_, np.float64),
+        model_covs=np.asarray(model.covariances_, np.float64),
+        n_components=np.int32(len(list_mean_cdf)))
+    for j, (mean, cdf) in enumerate(list_mean_cdf):
+        payload['cdf_mean_%d' % j] = np.asarray(mean, np.float64)
+        payload['cdf_table_%d' % j] = np.asarray(cdf, np.float64)
+    np.savez_compressed(out, **payload)
     print('wrote %s' % out)
 
 
