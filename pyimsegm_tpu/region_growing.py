@@ -33,7 +33,7 @@ import numpy as np
 
 from pyimsegm_tpu.labeling import histogram_regions_labels_norm
 from pyimsegm_tpu.models import clustering
-from pyimsegm_tpu.models.gmm import GMMParams, gmm_fit, gmm_predict_proba, kmeans_fit
+from pyimsegm_tpu.models.gmm import GMMParams, gmm_predict_proba, kmeans_fit
 from pyimsegm_tpu.ops import graph as graph_ops
 from pyimsegm_tpu.ops import shape_prior as sp_ops
 from pyimsegm_tpu.ops.graphcut import MAX_PAIRWISE_COST, solve_mrf
@@ -293,45 +293,6 @@ class KMeansShapeModel:
         proba = np.zeros_like(d2)
         proba[np.arange(len(d2)), np.argmin(d2, axis=1)] = 1.0
         return proba
-
-
-def _fit_gmm(rays, n_components, diag=False, seed=0):
-    """Robust mixture fit for small ray datasets: variance-scaled covariance
-    regularisation, component cap at n/4, diagonal fallback when the full
-    covariance turns singular (ray sets are short and high-dimensional)."""
-    rays = np.asarray(rays, np.float32)
-    x = jnp.asarray(rays)
-    n = len(rays)
-    n_components = max(1, min(int(n_components), max(1, n // 4), n))
-    reg = float(max(np.mean(np.var(rays, axis=0)), 1.0)) * 1e-2
-    params = gmm_fit(jax.random.PRNGKey(seed), x,
-                     jnp.ones(n, jnp.float32), n_components,
-                     n_init=2, max_iter=99, reg_covar=reg)
-    finite = all(bool(jnp.all(jnp.isfinite(p)))
-                 for p in (params.weights, params.means, params.covs))
-    if diag or not finite:
-        if not finite:
-            # diagonal refit: kmeans hard assignment + per-dim variances
-            centers, labels = kmeans_fit(jax.random.PRNGKey(seed), x,
-                                         jnp.ones(n, jnp.float32),
-                                         n_components)
-            labels = np.asarray(labels)
-            means, variances, weights = [], [], []
-            for c in range(n_components):
-                members = rays[labels == c]
-                if not len(members):
-                    continue
-                means.append(members.mean(axis=0))
-                variances.append(members.var(axis=0) + reg)
-                weights.append(len(members) / float(n))
-            params = GMMParams(jnp.asarray(weights), jnp.asarray(means),
-                               jax.vmap(jnp.diag)(jnp.asarray(variances)))
-        else:
-            covs = jax.vmap(jnp.diag)(
-                jnp.diagonal(params.covs, axis1=1, axis2=2))
-            params = GMMParams(params.weights, params.means, covs)
-    return params
-
 
 def transform_rays_model_cdf_mixture(list_rays, coef_components=1):
     """Bayesian mixture shape model -> survival table
