@@ -251,11 +251,56 @@ def compare_rg2sp(out_dir):
     return rows
 
 
+def compare_centers(out_dir):
+    """Centre detection: our chain trained on the same two images, detected
+    on the same held-out images; F1 at the 50 px tolerance for both sides."""
+    from apps.run_center_candidate_training import load_center_annotation
+    from pyimsegm_tpu import centers as ctr
+
+    paths = sorted(glob.glob(os.path.join(out_dir, 'centers_*.npz')))
+    if not paths:
+        return []
+    data = os.environ.get('PYIMSEGM_DATA_PATH', '/root/reference/data-images')
+    base = os.path.join(data, 'drosophila_ovary_slice')
+
+    def _load(name):
+        img = _load_image(os.path.join(base, 'image', name + '.jpg'))
+        segm = _load_image(os.path.join(base, 'segm', name + '.png')).astype(int)
+        cents = load_center_annotation(
+            os.path.join(base, 'center_levels', name + '.png'))
+        return img, segm, cents
+
+    train_names = ['insitu4174', 'insitu4358']
+    imgs, segms, cents = zip(*[_load(n) for n in train_names])
+    classif, _ = ctr.train_center_classifier(list(segms), list(imgs),
+                                             list(cents))
+    rows = []
+    for path in paths:
+        name = os.path.basename(path)[len('centers_'):-len('.npz')]
+        npz = np.load(path)
+        img, segm, centers_gt = _load(name)
+        res = ctr.load_compute_detect_centers(img, segm, classif)
+        ours_det = np.asarray(res['centers'])
+        stat_ref = ctr.evaluate_detected_centers(
+            npz['centers_detected'], centers_gt, dist_thr=50)
+        stat_ours = ctr.evaluate_detected_centers(ours_det, centers_gt,
+                                                  dist_thr=50)
+        rows.append(dict(config='centers', image=name,
+                         reference_f1=round(stat_ref['f1'], 4),
+                         ours_f1=round(stat_ours['f1'], 4)))
+        print('ctr   %-12s reference P %.2f R %.2f F1 %.3f | ours P %.2f '
+              'R %.2f F1 %.3f'
+              % (name, stat_ref['precision'], stat_ref['recall'],
+                 stat_ref['f1'], stat_ours['precision'], stat_ours['recall'],
+                 stat_ours['f1']), flush=True)
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument('--out', default=os.path.join(_HERE, 'out'))
     ap.add_argument('--json', default=os.path.join(_HERE, 'out', 'compare.json'))
-    ap.add_argument('--configs', default='unsup,sup,rg2sp')
+    ap.add_argument('--configs', default='unsup,sup,rg2sp,centers')
     args = ap.parse_args()
     rows = []
     cfgs = args.configs.split(',')
@@ -267,6 +312,8 @@ def main():
         rows += compare_sup(args.out)
     if 'rg2sp' in cfgs:
         rows += compare_rg2sp(args.out)
+    if 'centers' in cfgs:
+        rows += compare_centers(args.out)
     with open(args.json, 'w') as fh:
         json.dump(rows, fh, indent=1)
     print('wrote %s' % args.json)

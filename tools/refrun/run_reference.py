@@ -263,9 +263,68 @@ def run_rg2sp(out_dir):
     print('wrote %s' % out)
 
 
+def run_centers(out_dir):
+    """Reference egg-centre detection chain: superpixel candidate points ->
+    annuli label histograms + ray features -> RandForest -> DBSCAN
+    (`experiments_ovary_centres/run_center_candidate_training.py:378-737`
+    compute core; the file-IO/visual wrappers are bypassed)."""
+    sys.path.insert(0, os.path.join(_REFERENCE, 'experiments_ovary_centres'))
+    import run_center_candidate_training as ref_train
+    import run_center_clustering as ref_clust
+    from sklearn.ensemble import RandomForestClassifier
+    from sklearn.preprocessing import StandardScaler
+    from sklearn.pipeline import Pipeline
+
+    from apps.run_center_candidate_training import load_center_annotation
+
+    base = os.path.join(DATA, 'drosophila_ovary_slice')
+    params = dict(ref_train.CENTER_PARAMS)
+    train_names = ['insitu4174', 'insitu4358']
+    test_names = ['insitu7331', 'insitu7544', 'insitu7545']
+
+    def _load(name):
+        img = _imread_f64(os.path.join(base, 'image', name + '.jpg'))
+        segm = _imread(os.path.join(base, 'segm', name + '.png')).astype(int)
+        centers = load_center_annotation(
+            os.path.join(base, 'center_levels', name + '.png'))
+        return img, segm, centers
+
+    np.random.seed(0)
+    all_fts, all_lbs = [], []
+    for name in train_names:
+        img, segm, centers = _load(name)
+        _, _slic, points, fts, _names = ref_train.estim_points_compute_features(
+            name, img, segm, params)
+        labels = ref_train.label_close_points(centers, points, params)
+        keep = np.asarray(labels) >= 0
+        all_fts.append(np.asarray(fts)[keep])
+        all_lbs.append(np.asarray(labels)[keep])
+    x = np.nan_to_num(np.concatenate(all_fts))
+    y = np.concatenate(all_lbs)
+    classif = Pipeline([('scaler', StandardScaler()),
+                        ('clf', RandomForestClassifier(n_estimators=100,
+                                                       random_state=0))])
+    classif.fit(x, y)
+
+    for name in test_names:
+        img, segm, centers_gt = _load(name)
+        _, _slic, points, fts, _names = ref_train.estim_points_compute_features(
+            name, img, segm, params)
+        pred = classif.predict(np.nan_to_num(np.asarray(fts)))
+        candidates = np.asarray(points)[np.asarray(pred) == 1]
+        centers_det, _ = ref_clust.cluster_center_candidates(
+            candidates, max_dist=50, min_samples=1)
+        out = os.path.join(out_dir, 'centers_%s.npz' % name)
+        np.savez_compressed(out,
+                            centers_detected=np.asarray(centers_det, float),
+                            centers_true=np.asarray(centers_gt, float))
+        print('wrote %s  (%d detected / %d true)'
+              % (out, len(centers_det), len(centers_gt)))
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument('mode', choices=('unsup', 'sup', 'rg2sp', 'all'))
+    ap.add_argument('mode', choices=('unsup', 'sup', 'rg2sp', 'centers', 'all'))
     ap.add_argument('--out', default=os.path.join(_HERE, 'out'))
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -275,6 +334,8 @@ def main():
         run_sup(args.out)
     if args.mode in ('rg2sp', 'all'):
         run_rg2sp(args.out)
+    if args.mode in ('centers', 'all'):
+        run_centers(args.out)
 
 
 if __name__ == '__main__':
