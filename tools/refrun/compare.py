@@ -296,11 +296,34 @@ def compare_centers(out_dir):
     return rows
 
 
+def compare_gray3d(out_dir):
+    """3D gray pipeline on the same synthetic volume (independent fits;
+    the volume is cleanly separable so EM multistability is not a factor)."""
+    import jax.numpy as jnp
+
+    from pyimsegm_tpu import pipelines
+    from pyimsegm_tpu.utils.metrics import adjusted_rand_score
+
+    path = os.path.join(out_dir, 'gray3d_synthetic.npz')
+    if not os.path.isfile(path):
+        return []
+    npz = np.load(path)
+    ours = pipelines.pipe_gray3d_slic_features_model_graphcut(
+        npz['vol'], 2, {'color': ['mean', 'std', 'energy']}, spacing=(4, 1, 1),
+        sp_size=15, sp_regul=0.2, gc_regul=0.1)
+    ars = float(adjusted_rand_score(jnp.asarray(npz['segm']).ravel(),
+                                    jnp.asarray(ours).ravel()))
+    print('gray3d synthetic               ARS vs reference %.4f' % ars,
+          flush=True)
+    return [dict(config='gray3d', image='synthetic',
+                 ars_vs_reference=round(ars, 4))]
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument('--out', default=os.path.join(_HERE, 'out'))
     ap.add_argument('--json', default=os.path.join(_HERE, 'out', 'compare.json'))
-    ap.add_argument('--configs', default='unsup,sup,rg2sp,centers')
+    ap.add_argument('--configs', default='unsup,sup,rg2sp,centers,gray3d')
     args = ap.parse_args()
     rows = []
     cfgs = args.configs.split(',')
@@ -314,6 +337,8 @@ def main():
         rows += compare_rg2sp(args.out)
     if 'centers' in cfgs:
         rows += compare_centers(args.out)
+    if 'gray3d' in cfgs:
+        rows += compare_gray3d(args.out)
     with open(args.json, 'w') as fh:
         json.dump(rows, fh, indent=1)
     print('wrote %s' % args.json)

@@ -322,9 +322,29 @@ def run_centers(out_dir):
               % (out, len(centers_det), len(centers_gt)))
 
 
+def run_gray3d(out_dir):
+    """Reference 3D gray pipeline (`imsegm/pipelines.py:382-431`) on the
+    synthetic structured volume its own doctest uses (scaled up, with
+    anisotropic spacing)."""
+    from imsegm.pipelines import pipe_gray3d_slic_features_model_graphcut
+
+    np.random.seed(0)
+    vol = np.random.random((8, 128, 160)) / 2.0
+    vol[:, :, :80] += 0.5
+    np.random.seed(0)
+    segm = pipe_gray3d_slic_features_model_graphcut(
+        vol, 2, {'color': ['mean', 'std', 'energy']}, spacing=(4, 1, 1),
+        sp_size=15, sp_regul=0.2, gc_regul=0.1)
+    out = os.path.join(out_dir, 'gray3d_synthetic.npz')
+    np.savez_compressed(out, segm=np.asarray(segm, np.int32),
+                        vol=vol.astype(np.float32))
+    print('wrote %s  (classes %d)' % (out, segm.max() + 1))
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument('mode', choices=('unsup', 'sup', 'rg2sp', 'centers', 'all'))
+    ap.add_argument('mode', choices=('unsup', 'sup', 'rg2sp', 'centers',
+                                     'gray3d', 'all'))
     ap.add_argument('--out', default=os.path.join(_HERE, 'out'))
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -336,6 +356,8 @@ def main():
         run_rg2sp(args.out)
     if args.mode in ('centers', 'all'):
         run_centers(args.out)
+    if args.mode in ('gray3d', 'all'):
+        run_gray3d(args.out)
 
 
 if __name__ == '__main__':

@@ -69,10 +69,17 @@ def _smooth(img, sigma):
 def slic(image, n_segments=100, compactness=10.0, max_num_iter=10, sigma=0,
          enforce_connectivity=True, min_size_factor=0.5, max_size_factor=3.0,
          slic_zero=False, start_label=0, convert2lab=None, max_iter=None,
-         **_kw):
+         multichannel=True, spacing=None, channel_axis='unset', **_kw):
     image = np.asarray(image, np.float32)
     if max_iter is not None:            # old skimage kwarg name
         max_num_iter = max_iter
+    if channel_axis is None:
+        multichannel = False
+    if not multichannel and image.ndim == 3:
+        # gray volume (the reference's 3D path, `superpixels.py:104-106`)
+        return _slic3d_gray(image, n_segments, compactness, max_num_iter,
+                            sigma, spacing, enforce_connectivity,
+                            min_size_factor, start_label)
     if image.ndim == 2:
         image = image[..., None]
     h, w, c = image.shape
@@ -213,4 +220,137 @@ def _enforce_connectivity(labels, step, min_size_factor, start_label):
             else:
                 remap[comp_id] = out_next
                 out_next += 1
+    return (remap[comp] + start_label).astype(np.int64)
+
+
+def _slic3d_gray(vol, n_segments, compactness, max_num_iter, sigma, spacing,
+                 enforce_conn, min_size_factor, start_label):
+    """Gray-volume SLIC with anisotropic ``spacing`` (the published
+    algorithm with skimage's conventions, as the 2D path above)."""
+    spacing = np.ones(3) if spacing is None else np.asarray(spacing, float)
+    if sigma and sigma > 0:
+        sig = [float(sigma)] * 3
+        vol = ndimage.gaussian_filter(vol, sig)
+    dz, dh, dw = vol.shape
+    # scaled coordinates; step from the scaled volume
+    dims_sc = np.array([dz, dh, dw]) * spacing
+    step = max(2.0, (np.prod(dims_sc) / max(n_segments, 1)) ** (1.0 / 3))
+    grid = np.maximum(1, np.ceil(dims_sc / step).astype(int))
+    gz, gy, gx = grid
+
+    axes_sc = [np.arange(n) * s for n, s in zip((dz, dh, dw), spacing)]
+    seeds_sc = [np.minimum((np.arange(g) + 0.5) * step - 0.5, ax[-1])
+                for g, ax in zip(grid, axes_sc)]
+    seed_idx = [np.clip(np.round(ss / s).astype(int), 0, n - 1)
+                for ss, s, n in zip(seeds_sc, spacing, (dz, dh, dw))]
+    cz, cy, cx = np.meshgrid(*seeds_sc, indexing='ij')          # scaled
+    cval = vol[np.ix_(*seed_idx)].astype(np.float64)
+
+    pz = axes_sc[0][:, None, None]
+    py = axes_sc[1][None, :, None]
+    px = axes_sc[2][None, None, :]
+    tz = np.minimum((pz / step).astype(int), gz - 1)
+    ty = np.minimum((py / step).astype(int), gy - 1)
+    tx = np.minimum((px / step).astype(int), gx - 1)
+    sw = (compactness / step) ** 2
+
+    offsets = [(a, b, c) for a in (-1, 0, 1) for b in (-1, 0, 1)
+               for c in (-1, 0, 1)]
+
+    def assign():
+        best_d = np.full(vol.shape, np.inf)
+        best_lb = np.zeros(vol.shape, np.int64)
+        for da, db, dc in offsets:
+            sa = np.clip(tz + da, 0, gz - 1)
+            sb = np.clip(ty + db, 0, gy - 1)
+            sc = np.clip(tx + dc, 0, gx - 1)
+            valid = ((tz + da >= 0) & (tz + da < gz)
+                     & (ty + db >= 0) & (ty + db < gy)
+                     & (tx + dc >= 0) & (tx + dc < gx))
+            d = ((vol - cval[sa, sb, sc]) ** 2
+                 + ((pz - cz[sa, sb, sc]) ** 2 + (py - cy[sa, sb, sc]) ** 2
+                    + (px - cx[sa, sb, sc]) ** 2) * sw)
+            d = np.where(valid, d, np.inf)
+            take = d < best_d
+            best_d = np.where(take, d, best_d)
+            best_lb = np.where(take, (sa * gy + sb) * gx + sc, best_lb)
+        return best_lb
+
+    k = gz * gy * gx
+    labels = assign()
+    for _it in range(max(max_num_iter, 1) - 1):
+        flat = labels.ravel()
+        cnt = np.maximum(np.bincount(flat, minlength=k), 1.0)
+
+        def upd(vals):
+            return (np.bincount(flat, weights=np.broadcast_to(
+                vals, vol.shape).ravel(), minlength=k) / cnt).reshape(grid)
+
+        cval, cz, cy, cx = upd(vol), upd(pz), upd(py), upd(px)
+        labels = assign()
+
+    if enforce_conn:
+        # the size floor counts VOXELS: one superpixel covers step^3 of
+        # scaled volume = step^3 / prod(spacing) voxels
+        vox_per_sp = step ** 3 / np.prod(spacing)
+        labels = _enforce_connectivity_nd(labels, vox_per_sp ** (1.0 / 3),
+                                          min_size_factor, start_label)
+    else:
+        labels = labels + start_label
+    return labels
+
+
+def _enforce_connectivity_nd(labels, step, min_size_factor, start_label):
+    """nD variant of `_enforce_connectivity`: sequential component relabel +
+    merge of components below ``min_size_factor * step**ndim``."""
+    nd = labels.ndim
+    min_size = int(min_size_factor * step ** nd)
+    comp = np.full(labels.shape, -1, np.int64)
+    nxt = 0
+    sizes, first_px, bboxes = [], [], []
+    strides = np.cumprod([1] + list(labels.shape[::-1][:-1]))[::-1]
+    for lb in np.unique(labels):
+        cc, _n = ndimage.label(labels == lb)
+        for ci, sl in enumerate(ndimage.find_objects(cc), start=1):
+            sub = cc[sl] == ci
+            comp[sl][sub] = nxt
+            sizes.append(int(sub.sum()))
+            idx = np.nonzero(sub)
+            o = np.lexsort(idx[::-1])[0]
+            first_px.append(sum((s.start + int(ix[o])) * st
+                                for s, ix, st in zip(sl, idx, strides)))
+            bboxes.append(sl)
+            nxt += 1
+    sizes = np.asarray(sizes)
+
+    order = np.argsort(first_px, kind='stable')
+    remap = np.full(nxt, -1, np.int64)
+    out_next = 0
+    for comp_id in order:
+        if sizes[comp_id] >= min_size or out_next == 0:
+            remap[comp_id] = out_next
+            out_next += 1
+            continue
+        sl = bboxes[comp_id]
+        gsl = tuple(slice(max(s.start - 1, 0), min(s.stop + 1, n))
+                    for s, n in zip(sl, labels.shape))
+        win = comp[gsl]
+        sel = win == comp_id
+        nb = np.zeros_like(sel)
+        for ax in range(nd):
+            lo = [slice(None)] * nd
+            hi = [slice(None)] * nd
+            lo[ax] = slice(None, -1)
+            hi[ax] = slice(1, None)
+            nb[tuple(lo)] |= sel[tuple(hi)]
+            nb[tuple(hi)] |= sel[tuple(lo)]
+        nb &= ~sel
+        nb_comp = win[nb]
+        nb_comp = nb_comp[(nb_comp >= 0) & (remap[nb_comp] >= 0)]
+        if len(nb_comp):
+            vals, counts = np.unique(nb_comp, return_counts=True)
+            remap[comp_id] = remap[vals[np.argmax(counts)]]
+        else:
+            remap[comp_id] = out_next
+            out_next += 1
     return (remap[comp] + start_label).astype(np.int64)
