@@ -195,7 +195,8 @@ def grid_segment_min(value, labels, cfg: SlicConfig):
     return out.reshape(gh * gw)
 
 
-def enforce_grid_connectivity(labels, cfg: SlicConfig, min_size=None):
+def enforce_grid_connectivity(labels, cfg: SlicConfig, min_size=None,
+                              centers=None):
     """Make every superpixel a single 4-connected region, on device.
 
     The reference always runs skimage SLIC with ``enforce_connectivity=True``
@@ -226,6 +227,9 @@ def enforce_grid_connectivity(labels, cfg: SlicConfig, min_size=None):
 
     :param labels: (H, W) int32 grid-structured SLIC labels
     :param min_size: merge superpixels with fewer pixels into a neighbour
+    :param centers: optional precomputed (K, 2) centroids in (y, x) — e.g.
+        the geometry emitted by the fused final SLIC pass — saving one
+        full-image segment reduction here
     :returns: (H, W) int32 labels, connected per superpixel
     """
     h, w = labels.shape
@@ -237,10 +241,13 @@ def enforce_grid_connectivity(labels, cfg: SlicConfig, min_size=None):
     # centroid falls outside
     py = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     px = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    coords = jnp.stack([jnp.ones((h, w), jnp.float32), py, px], axis=-1)
-    sums = grid_segment_sum(coords, labels, cfg)
-    safe = jnp.maximum(sums[:, 0:1], 1.0)
-    cyx = sums[:, 1:3] / safe                       # (K, 2) centroids
+    if centers is None:
+        coords = jnp.stack([jnp.ones((h, w), jnp.float32), py, px], axis=-1)
+        sums = grid_segment_sum(coords, labels, cfg)
+        safe = jnp.maximum(sums[:, 0:1], 1.0)
+        cyx = sums[:, 1:3] / safe                   # (K, 2) centroids
+    else:
+        cyx = jnp.asarray(centers, jnp.float32)
     cpix = grid_lookup(cyx, labels, cfg)            # per-pixel own centroid
     d2 = (py - cpix[..., 0]) ** 2 + (px - cpix[..., 1]) ** 2
     d2min = grid_segment_min(d2, labels, cfg)       # (K,)
@@ -322,25 +329,76 @@ def min_size_merge(labels, cfg: SlicConfig, min_size, n_rounds=3):
     kept neighbour (skimage ``min_size_factor`` semantics,
     `skimage/segmentation/_slic.py`), preserving the 3x3 grid invariant:
     pixels whose donor seed falls outside their own 3x3 tile window keep
-    their label (vanishingly rare).  ``n_rounds`` resolves chains of small
-    superpixels whose only neighbours were small in earlier rounds."""
+    their label (vanishingly rare).
+
+    Costs ONE pixel-scale measurement (counts + boundary contacts) and one
+    pixel-scale apply; chains of small superpixels whose neighbours are all
+    small resolve by pointer-chasing the (K,)-sized donor table
+    (:func:`donor_chain_table`) instead of re-measuring the image
+    ``n_rounds`` times — the table chase covers ``2**n_rounds`` hops for
+    a few K-sized gathers."""
     h, w = labels.shape
     gh, gw = cfg.grid_h, cfg.grid_w
     step = cfg.step
     ty = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) // step
     tx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) // step
-    for _ in range(n_rounds):
-        counts = grid_segment_sum(jnp.ones((h, w, 1), jnp.float32),
-                                  labels, cfg)[:, 0]
-        sym25 = sym_contact_counts(grid_pair_count_channels(labels, cfg),
-                                   gh, gw)
-        donor, _small = donor_table_from_counts(counts, sym25, gh, gw,
-                                                min_size)
-        new = grid_lookup(donor[:, None].astype(jnp.float32), labels,
-                          cfg)[..., 0].astype(jnp.int32)
-        ok = (jnp.abs(new // gw - ty) <= 1) & (jnp.abs(new % gw - tx) <= 1)
-        labels = jnp.where(ok, new, labels)
-    return labels
+    counts = grid_segment_sum(jnp.ones((h, w, 1), jnp.float32),
+                              labels, cfg)[:, 0]
+    sym25 = sym_contact_counts(grid_pair_count_channels(labels, cfg),
+                               gh, gw)
+    donor = donor_chain_table(counts, sym25, gh, gw, min_size,
+                              n_hops=n_rounds)
+    new = grid_lookup(donor[:, None].astype(jnp.float32), labels,
+                      cfg)[..., 0].astype(jnp.int32)
+    ok = (jnp.abs(new // gw - ty) <= 1) & (jnp.abs(new % gw - tx) <= 1)
+    return jnp.where(ok, new, labels)
+
+
+def donor_chain_table(counts, sym25, gh, gw, min_size, n_hops=3):
+    """Fully-resolved merge targets from a single measurement.
+
+    Extends :func:`donor_table_from_counts` to all-small neighbourhoods: a
+    small label with no kept neighbour points at its max-contact *small*
+    neighbour that is strictly greater in ``(count, -index)`` order (so the
+    pointer graph is acyclic by construction), and the table is squared
+    ``n_hops`` times (``d = d[d]``, covering ``2**n_hops``-long chains with
+    K-sized gathers).  A chain that never reaches a kept label leaves its
+    members unchanged — the same terminal behaviour the round-based merge
+    had after exhausting its rounds.
+
+    :returns: (K,) int32 — final kept target per label, or the label itself
+    """
+    k = gh * gw
+    donor, small = donor_table_from_counts(counts, sym25, gh, gw, min_size)
+    idx = jnp.arange(k, dtype=jnp.int32)
+
+    # fallback pointers for small labels whose whole neighbourhood is small
+    small_g = small.reshape(gh, gw)
+    cnt_g = jnp.asarray(counts, jnp.float32).reshape(gh, gw)
+    self_g = idx.reshape(gh, gw)
+    oy = jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 0)
+    ox = jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 1)
+    best_score = jnp.full((gh, gw), -1.0, jnp.float32)
+    best_fb = self_g
+    for ci, (dy, dx) in enumerate(GRAPH_OFFSETS):
+        ny, nx = oy + dy, ox + dx
+        valid = (ny >= 0) & (ny < gh) & (nx >= 0) & (nx < gw)
+        nyc, nxc = jnp.clip(ny, 0, gh - 1), jnp.clip(nx, 0, gw - 1)
+        nidx = nyc * gw + nxc
+        ncnt = cnt_g[nyc, nxc]
+        greater = (ncnt > cnt_g) | ((ncnt == cnt_g) & (nidx < self_g))
+        cand = small_g[nyc, nxc] & valid & greater
+        score = jnp.where(cand, sym25[..., ci], -1.0)
+        take = score > best_score
+        best_score = jnp.where(take, score, best_score)
+        best_fb = jnp.where(take, nidx, best_fb)
+    fb = jnp.where(best_score.reshape(k) > 0.0, best_fb.reshape(k), idx)
+
+    d = jnp.where(small & (donor == idx), fb, donor)
+    for _ in range(max(int(n_hops), 1)):
+        d = d[d]
+    # only fire merges that terminate on a kept label
+    return jnp.where(small & ~small[d], d, idx)
 
 
 def _connect_components(labels, reached0, cfg: SlicConfig):

@@ -359,23 +359,20 @@ def _local_enforce_connectivity(labels_loc, cfg: SlicConfig, lgh, t0,
     # min-size merge (skimage semantics): identical replicated donor tables
     # as the batch path's ops.grid.min_size_merge, so sharded and single-chip
     # pipelines take the same merge decisions
-    from pyimsegm_tpu.ops.grid import donor_table_from_counts, sym_contact_counts
+    from pyimsegm_tpu.ops.grid import donor_chain_table, sym_contact_counts
     min_size = 0.5 * step * step
     ty = jax.lax.broadcasted_iota(jnp.int32, (hb, wp), 0) // step + t0
     tx = jax.lax.broadcasted_iota(jnp.int32, (hb, wp), 1) // step
-    for _ in range(3):
-        counts = _local_segment_sum(jnp.ones((hb, wp, 1), jnp.float32),
-                                    labels_loc, cfg, lgh, t0, axis_name)[:, 0]
-        raw = _local_pair_counts(labels_loc, cfg, lgh, t0, axis_name, n_dev)
-        sym25 = sym_contact_counts(raw, gh, gw)
-        donor, _small = donor_table_from_counts(counts, sym25, gh, gw,
-                                                min_size)
-        new = _local_table_lookup(donor[:, None].astype(jnp.float32),
-                                  labels_loc, cfg, lgh, t0)[..., 0]
-        new = jnp.round(new).astype(jnp.int32)
-        ok = (jnp.abs(new // gw - ty) <= 1) & (jnp.abs(new % gw - tx) <= 1)
-        labels_loc = jnp.where(ok, new, labels_loc)
-    return labels_loc
+    counts = _local_segment_sum(jnp.ones((hb, wp, 1), jnp.float32),
+                                labels_loc, cfg, lgh, t0, axis_name)[:, 0]
+    raw = _local_pair_counts(labels_loc, cfg, lgh, t0, axis_name, n_dev)
+    sym25 = sym_contact_counts(raw, gh, gw)
+    donor = donor_chain_table(counts, sym25, gh, gw, min_size)
+    new = _local_table_lookup(donor[:, None].astype(jnp.float32),
+                              labels_loc, cfg, lgh, t0)[..., 0]
+    new = jnp.round(new).astype(jnp.int32)
+    ok = (jnp.abs(new // gw - ty) <= 1) & (jnp.abs(new % gw - tx) <= 1)
+    return jnp.where(ok, new, labels_loc)
 
 
 def _local_absorb_unreached(labels_loc, reached, cfg: SlicConfig, t0,

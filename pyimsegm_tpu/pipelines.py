@@ -67,15 +67,20 @@ def _slic_features_core(image, cfg, feats_spec, compactness,
         # enforcement pass replaces the fused final-assignment shortcut, so
         # geometry/moments are re-reduced from the enforced labels
         from pyimsegm_tpu.ops import grid as grid_ops
-        labels = slic_ops.slic_segment(image, cfg, compactness,
-                                       n_iter=n_iter, slico=slico)
-        labels = grid_ops.enforce_grid_connectivity(
-            labels, cfg, min_size=int(0.5 * cfg.step * cfg.step))
         if fuse_key is not None:
+            # the fused final SLIC pass emits the raw-label geometry as a
+            # byproduct — its centroids seed the connectivity anchors, so
+            # enforcement skips one full-image segment reduction
             from pyimsegm_tpu.ops import color as color_ops
             img_f = jnp.asarray(image, jnp.float32)
             feat_img = (color_ops.convert_img_color_from_rgb(
                 img_f, fuse_key.split('_')[-1]) if '_' in fuse_key else img_f)
+            labels, _cnt_raw, cent_raw, _ms_raw = \
+                slic_ops.slic_segment_with_features(
+                    image, feat_img, cfg, compactness, n_iter=n_iter)
+            labels = grid_ops.enforce_grid_connectivity(
+                labels, cfg, min_size=int(0.5 * cfg.step * cfg.step),
+                centers=cent_raw)
             h, w = labels.shape
             data = jnp.concatenate(
                 [feat_img, feat_img * feat_img,
@@ -96,6 +101,10 @@ def _slic_features_core(image, cfg, feats_spec, compactness,
             features = jnp.concatenate(
                 [blocks[f] for f in _MOMENT_FLAGS if f in flags], axis=-1)
             return labels, features, counts, centers
+        labels = slic_ops.slic_segment(image, cfg, compactness,
+                                       n_iter=n_iter, slico=slico)
+        labels = grid_ops.enforce_grid_connectivity(
+            labels, cfg, min_size=int(0.5 * cfg.step * cfg.step))
         counts, centers = _grid_geometry(labels, cfg)
     elif slico:
         labels = slic_ops.slic_segment(image, cfg, compactness,
