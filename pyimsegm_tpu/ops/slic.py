@@ -126,18 +126,47 @@ def gaussian_blur(image, sigma):
     return conv_axis(conv_axis(image, 0), 1)
 
 
+def _rgb2lab_explog(rgb):
+    """sRGB -> Lab with ``x**2.4`` / ``cbrt`` expressed as exp/log — the
+    exact formulation the fused prep kernel uses (Mosaic has neither pow nor
+    cbrt primitives), shared here so the XLA fallback computes the same
+    floats (`pyimsegm_tpu.ops.prep_pallas._prep_kernel`)."""
+    lin = []
+    for c in range(3):
+        v = jnp.clip(rgb[..., c], 0.0, 1.0)
+        big = jnp.exp(2.4 * jnp.log(jnp.maximum((v + 0.055) / 1.055, 1e-30)))
+        lin.append(jnp.where(v > 0.04045, big, v / 12.92))
+    x = 0.412453 * lin[0] + 0.357580 * lin[1] + 0.180423 * lin[2]
+    y = 0.212671 * lin[0] + 0.715160 * lin[1] + 0.072169 * lin[2]
+    z = 0.019334 * lin[0] + 0.119193 * lin[1] + 0.950227 * lin[2]
+    eps = (6.0 / 29.0) ** 3
+
+    def lab_f(t):
+        cbrt = jnp.exp(jnp.log(jnp.maximum(t, 1e-30)) / 3.0)
+        return jnp.where(t > eps, cbrt,
+                         t / (3 * (6.0 / 29.0) ** 2) + 4.0 / 29.0)
+
+    fx = lab_f(x / 0.95047)
+    fy = lab_f(y / 1.0)
+    fz = lab_f(z / 1.08883)
+    return jnp.stack([116.0 * fy - 16.0, 500.0 * (fx - fy),
+                      200.0 * (fy - fz)], axis=-1)
+
+
 def _prepare_image(image):
     """Match reference preprocessing (`superpixels.py:50-54`): gray->RGB,
     min/max rescale to [0,1]; then sigma=1 blur + Lab conversion as skimage
-    ``slic`` does internally."""
+    ``slic`` does internally.  Op order (blur first, affine rescale folded
+    after — they commute) and the exp/log transcendental forms mirror the
+    fused prep kernel so both backends compute the same floats."""
     if image.ndim == 2:
         image = jnp.stack([image] * 3, axis=-1)
     image = image.astype(jnp.float32)
     lo = jnp.min(image)
     hi = jnp.max(image)
-    image = (image - lo) / jnp.maximum(hi - lo, 1e-12)
-    image = gaussian_blur(image, 1.0)
-    return rgb2lab(image)
+    blurred = gaussian_blur(image, 1.0)
+    v = (blurred - lo) / jnp.maximum(hi - lo, 1e-12)
+    return _rgb2lab_explog(v)
 
 
 def _upsample_grid(grid, step):
@@ -169,22 +198,50 @@ def slic_segment(image, cfg: SlicConfig, compactness,
     return _slic_segment_xla(image, cfg, compactness, n_iter=n_iter, slico=slico)
 
 
+def _seed_centers(lab_chw_q, cfg: SlicConfig):
+    """Initial (gh, gw, 5) centers; colors sampled from the bf16-quantised
+    blurred Lab so both backends seed identically."""
+    gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
+    cy0 = (jnp.arange(gh, dtype=jnp.float32) + 0.5) * step - 0.5
+    cx0 = (jnp.arange(gw, dtype=jnp.float32) + 0.5) * step - 0.5
+    iy = jnp.clip(cy0.astype(jnp.int32), 0, cfg.height - 1)
+    ix = jnp.clip(cx0.astype(jnp.int32), 0, cfg.width - 1)
+    init_color = jnp.transpose(
+        lab_chw_q[:, iy][:, :, ix].astype(jnp.float32), (1, 2, 0))
+    cyg, cxg = jnp.meshgrid(cy0, cx0, indexing='ij')
+    return jnp.concatenate(
+        [init_color, cyg[..., None], cxg[..., None]], axis=-1)
+
+
 def _prepare_padded(image, cfg: SlicConfig):
     """Shared preprocessing: Lab conversion, padding, coords, seed centers."""
-    gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
     lab = _prepare_image(image)
     ph, pw = cfg.pad_h - cfg.height, cfg.pad_w - cfg.width
     lab_p = jnp.pad(lab, [(0, ph), (0, pw), (0, 0)], mode='edge')
     valid = jnp.pad(jnp.ones((cfg.height, cfg.width), jnp.float32),
                     [(0, ph), (0, pw)])
-    cy0 = (jnp.arange(gh, dtype=jnp.float32) + 0.5) * step - 0.5
-    cx0 = (jnp.arange(gw, dtype=jnp.float32) + 0.5) * step - 0.5
-    iy = jnp.clip(cy0.astype(jnp.int32), 0, cfg.height - 1)
-    ix = jnp.clip(cx0.astype(jnp.int32), 0, cfg.width - 1)
-    init_color = lab[iy][:, ix]
-    cyg, cxg = jnp.meshgrid(cy0, cx0, indexing='ij')
-    centers0 = jnp.concatenate([init_color, cyg[..., None], cxg[..., None]], axis=-1)
+    centers0 = _seed_centers(
+        jnp.transpose(lab, (2, 0, 1)).astype(jnp.bfloat16), cfg)
     return lab_p, valid, centers0
+
+
+def _prepare_chw(image, cfg: SlicConfig):
+    """bf16 (3, pad_h, pad_w) Lab planes + (gh, gw, 5) initial centers.
+
+    On TPU the blur+rescale+Lab preprocessing runs as one fused Pallas pass
+    (`pyimsegm_tpu.ops.prep_pallas`); off TPU the XLA twin computes the same
+    floats (same op order and transcendental forms)."""
+    if image.ndim == 2:
+        image = jnp.stack([image] * 3, axis=-1)
+    if _pallas_available():
+        from pyimsegm_tpu.ops.prep_pallas import blur_lab_pallas
+        lab_chw = blur_lab_pallas(image)                 # (3, H, W) bf16
+    else:
+        lab_chw = jnp.transpose(_prepare_image(image),
+                                (2, 0, 1)).astype(jnp.bfloat16)
+    ph, pw = cfg.pad_h - cfg.height, cfg.pad_w - cfg.width
+    lab_chw_p = jnp.pad(lab_chw, [(0, 0), (0, ph), (0, pw)], mode='edge')
+    return lab_chw_p, _seed_centers(lab_chw, cfg)
 
 
 @functools.partial(jax.jit, static_argnames=('cfg', 'n_iter'))
@@ -192,13 +249,12 @@ def _slic_segment_pallas(image, cfg: SlicConfig, compactness,
                          n_iter=DEFAULT_SLIC_ITERS):
     from pyimsegm_tpu.ops.slic_pallas import (
         slic_assign_pallas, slic_multi_update_pallas)
-    lab_p, _valid, centers0 = _prepare_padded(image, cfg)
     # bf16 pixel buffer: halves the dominant per-iteration HBM read (~6%
     # pipeline throughput); the kernel computes distances in f32 (cast after
     # load).  The XLA path applies the identical quantisation so both
     # backends assign from the same pixel values (cross-backend ARS
     # acceptance, tools/check_parity.py).
-    lab_chw = jnp.transpose(lab_p, (2, 0, 1)).astype(jnp.bfloat16)
+    lab_chw, centers0 = _prepare_chw(image, cfg)
     sw2 = (jnp.asarray(compactness, jnp.float32) / cfg.step) ** 2
 
     # n_iter-1 update passes (one fused multi-iteration kernel) + one final
@@ -249,8 +305,7 @@ def _slic_segment_geom_pallas(image, cfg: SlicConfig, compactness,
                               n_iter=DEFAULT_SLIC_ITERS, feat_image=None):
     from pyimsegm_tpu.ops.slic_pallas import (
         combine_sums, slic_multi_update_pallas, slic_update_labels_pallas)
-    lab_p, _valid, centers0 = _prepare_padded(image, cfg)
-    lab_chw = jnp.transpose(lab_p, (2, 0, 1)).astype(jnp.bfloat16)
+    lab_chw, centers0 = _prepare_chw(image, cfg)
     sw2 = (jnp.asarray(compactness, jnp.float32) / cfg.step) ** 2
 
     feat_chw = None
@@ -322,14 +377,10 @@ def _slic_segment_xla(image, cfg: SlicConfig, compactness,
     py = jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 0)
     px = jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 1)
 
-    # initial centers: tile centres, colors sampled from the blurred image
-    cy0 = (jnp.arange(gh, dtype=jnp.float32) + 0.5) * step - 0.5
-    cx0 = (jnp.arange(gw, dtype=jnp.float32) + 0.5) * step - 0.5
-    iy = jnp.clip(cy0.astype(jnp.int32), 0, cfg.height - 1)
-    ix = jnp.clip(cx0.astype(jnp.int32), 0, cfg.width - 1)
-    init_color = lab[iy][:, ix]                      # (gh, gw, 3)
-    cyg, cxg = jnp.meshgrid(cy0, cx0, indexing='ij')
-    centers0 = jnp.concatenate([init_color, cyg[..., None], cxg[..., None]], axis=-1)
+    # initial centers: tile centres, colors sampled from the (quantised)
+    # blurred image — identical seeding to the Pallas path
+    centers0 = _seed_centers(
+        jnp.transpose(lab, (2, 0, 1)).astype(jnp.bfloat16), cfg)
 
     spatial_w = 1.0 / jnp.asarray(step, jnp.float32) ** 2
     m2 = jnp.asarray(compactness, jnp.float32) ** 2
