@@ -43,9 +43,24 @@ def _load_images():
     return np.stack(imgs)
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: the Mosaic kernels at bench scale cost
+    minutes to compile; the cache makes repeat runs start in seconds."""
+    import jax
+    cache_dir = os.environ.get('JAX_COMPILATION_CACHE_DIR',
+                               os.path.expanduser('~/.cache/jax_bench'))
+    try:
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+        jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+    except Exception:
+        pass
+
+
 def main():
     import jax
     import jax.numpy as jnp
+    _enable_compile_cache()
 
     from pyimsegm_tpu.models.class_model import estim_class_model
     from pyimsegm_tpu.parallel.batch import _segment_batch_jit

@@ -128,7 +128,13 @@ def bench_headline():
 
 
 def bench_centers():
-    """Config 4: center detection predict path per ovary image."""
+    """Config 4: center detection predict path per ovary image.
+
+    The benched metric is the per-image *detection* chain (BASELINE
+    configs[3]); training is setup, so the hyper-parameter search is cut to
+    the default fit (one compile) — classifier quality does not affect the
+    detection chain's wall clock.
+    """
     from pyimsegm_tpu import centers as ctr
     from pyimsegm_tpu import superpixels
 
@@ -139,7 +145,11 @@ def bench_centers():
     cents = [np.argwhere(_imread(os.path.join(
         base, 'center_levels', n + '.png')) > 0)[::50] for n in names]
 
-    classif, _ = ctr.train_center_classifier(segms, imgs, cents)
+    t0 = time.perf_counter()
+    classif, _ = ctr.train_center_classifier(
+        segms, imgs, cents, params={'nb_classif_search': 1})
+    print('# cfg4 train setup %.1f s' % (time.perf_counter() - t0),
+          file=sys.stderr, flush=True)
 
     def run():
         return ctr.load_compute_detect_centers(imgs[0], segms[0], classif)
@@ -196,6 +206,8 @@ def bench_rg2sp():
 
 
 def main():
+    from bench import _enable_compile_cache
+    _enable_compile_cache()
     cfgs = '1,2,3,4,5'
     for i, a in enumerate(sys.argv):
         if a == '--configs':

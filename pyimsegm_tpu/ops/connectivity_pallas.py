@@ -48,9 +48,17 @@ from jax.experimental.pallas import tpu as pltpu
 from pyimsegm_tpu.ops.slic import SlicConfig
 
 _INF = 2 ** 30
-#: decided tile rows per band (halo is 2 tile rows each side)
-_BAND_R = 8
+#: max decided tile rows per band (halo is 2 tile rows each side)
+_BAND_R = 16
 _HALO = 2
+
+
+def band_rows_for(gh):
+    """Decided tile rows per band: the smallest band height that still needs
+    ``ceil(gh / _BAND_R)`` bands — minimises wasted bottom-band padding and
+    halo overhead (e.g. gh=26 -> 2 bands of 13 instead of 4 of 8)."""
+    n_bands = -(-gh // _BAND_R)
+    return -(-gh // n_bands)
 #: reach sweep cap, shared with the XLA path (`ops/grid.py`): each sweep
 #: resolves one geodesic bend; components needing more are degenerate mazes
 #: (noise) whose remainder the absorb pass merges — output stays connected
@@ -212,7 +220,7 @@ def reach_absorb_pallas(labels_p, reached0, cfg: SlicConfig):
     """
     gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
     wp = cfg.pad_w
-    r_dec = min(_BAND_R, gh)
+    r_dec = band_rows_for(gh)
     n_bands = -(-gh // r_dec)
     dec_rows = r_dec * step
     band_rows = (r_dec + 2 * _HALO) * step

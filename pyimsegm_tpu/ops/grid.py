@@ -248,6 +248,18 @@ def enforce_grid_connectivity(labels, cfg: SlicConfig, min_size=None,
         cyx = sums[:, 1:3] / safe                   # (K, 2) centroids
     else:
         cyx = jnp.asarray(centers, jnp.float32)
+
+    from pyimsegm_tpu.ops.slic import _pallas_available
+    if _pallas_available():
+        # one banded launch: anchor seed + reach + absorb all in VMEM
+        # (the XLA anchor stage below costs ~14 ms/13 MPix on its own)
+        from pyimsegm_tpu.ops.enforce_pallas import enforce_fused_pallas
+        labels_p = _pad_to_grid(labels, cfg, fill=-9)
+        labels = enforce_fused_pallas(labels_p, cyx, cfg)[:h, :w]
+        if min_size:
+            labels = min_size_merge(labels, cfg, min_size)
+        return labels
+
     cpix = grid_lookup(cyx, labels, cfg)            # per-pixel own centroid
     d2 = (py - cpix[..., 0]) ** 2 + (px - cpix[..., 1]) ** 2
     d2min = grid_segment_min(d2, labels, cfg)       # (K,)
@@ -324,6 +336,76 @@ def grid_pair_count_channels(labels, cfg: SlicConfig):
     return adj
 
 
+def counts_and_contacts(labels, cfg: SlicConfig):
+    """Per-superpixel pixel counts + symmetric boundary-contact counts + the
+    per-(tile, offset) pixel counts, the measurement triple behind the
+    min-size merge — one Pallas launch on TPU
+    (`pyimsegm_tpu.ops.grid_pallas.grid_pair_count_pallas`), the one-hot
+    einsum + masked tile reduction formulations elsewhere.
+
+    :returns: (counts (K,) f32, sym25 (gh, gw, 25) f32,
+        counts9 (gh, gw, 9) f32 pixel counts per tile and routing offset)
+    """
+    gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
+    from pyimsegm_tpu.ops.slic import _pallas_available
+    if _pallas_available():
+        from pyimsegm_tpu.ops.grid_pallas import grid_pair_count_pallas
+        cnt9, counts9 = grid_pair_count_pallas(labels, cfg)
+        raw25 = jnp.zeros((gh, gw, 25), jnp.float32)
+        counts = jnp.zeros((gh, gw), jnp.float32)
+        for idx, (di, dj) in enumerate(_OFFSETS):
+            raw25 = raw25 + _shift2d(cnt9[:, :, idx], di, dj)
+            counts = counts + _shift_img(counts9[:, :, idx], di, dj, 0.0)
+        return (counts.reshape(gh * gw), sym_contact_counts(raw25, gh, gw),
+                counts9)
+    labels_p = _pad_to_grid(labels, cfg, fill=-2)
+    hp, wp = labels_p.shape
+    tile_y = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0) // step
+    tile_x = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1) // step
+    dy = labels_p // gw - tile_y + 1
+    dx = labels_p % gw - tile_x + 1
+    valid = (labels_p >= 0) & (dy >= 0) & (dy < 3) & (dx >= 0) & (dx < 3)
+    off = jnp.where(valid, dy * 3 + dx, -1)
+    counts9 = jnp.stack(
+        [jnp.where(off == oi, 1.0, 0.0)
+         .reshape(gh, step, gw, step).sum(axis=(1, 3)) for oi in range(9)],
+        axis=-1)
+    counts = jnp.zeros((gh, gw), jnp.float32)
+    for idx, (di, dj) in enumerate(_OFFSETS):
+        counts = counts + _shift_img(counts9[:, :, idx], di, dj, 0.0)
+    sym25 = sym_contact_counts(grid_pair_count_channels(labels, cfg), gh, gw)
+    return counts.reshape(gh * gw), sym25, counts9
+
+
+def label_tile_extents(counts9, gh, gw):
+    """Per-label extent of the tiles its pixels occupy.
+
+    :param counts9: (gh, gw, 9) pixel counts per tile and routing offset
+    :returns: (ty_min, ty_max, tx_min, tx_max), each (K,) int32; empty
+        labels get their own grid cell (no constraint).
+    """
+    oy = jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 0)
+    ox = jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 1)
+    big = jnp.int32(2 ** 20)
+    ty_min = jnp.full((gh, gw), big, jnp.int32)
+    ty_max = jnp.full((gh, gw), -big, jnp.int32)
+    tx_min = jnp.full((gh, gw), big, jnp.int32)
+    tx_max = jnp.full((gh, gw), -big, jnp.int32)
+    for idx, (di, dj) in enumerate(_OFFSETS):
+        # tile (y-di, x-dj) holds pixels of label (y, x) under offset idx
+        m = _shift2d(counts9[:, :, idx], di, dj) > 0
+        ty_min = jnp.minimum(ty_min, jnp.where(m, oy - di, big))
+        ty_max = jnp.maximum(ty_max, jnp.where(m, oy - di, -big))
+        tx_min = jnp.minimum(tx_min, jnp.where(m, ox - dj, big))
+        tx_max = jnp.maximum(tx_max, jnp.where(m, ox - dj, -big))
+    empty = ty_min == big
+    ty_min = jnp.where(empty, oy, ty_min).reshape(-1)
+    ty_max = jnp.where(empty, oy, ty_max).reshape(-1)
+    tx_min = jnp.where(empty, ox, tx_min).reshape(-1)
+    tx_max = jnp.where(empty, ox, tx_max).reshape(-1)
+    return ty_min, ty_max, tx_min, tx_max
+
+
 def min_size_merge(labels, cfg: SlicConfig, min_size, n_rounds=3):
     """Merge whole superpixels below ``min_size`` into their max-contact
     kept neighbour (skimage ``min_size_factor`` semantics,
@@ -342,19 +424,17 @@ def min_size_merge(labels, cfg: SlicConfig, min_size, n_rounds=3):
     step = cfg.step
     ty = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) // step
     tx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) // step
-    counts = grid_segment_sum(jnp.ones((h, w, 1), jnp.float32),
-                              labels, cfg)[:, 0]
-    sym25 = sym_contact_counts(grid_pair_count_channels(labels, cfg),
-                               gh, gw)
+    counts, sym25, counts9 = counts_and_contacts(labels, cfg)
     donor = donor_chain_table(counts, sym25, gh, gw, min_size,
-                              n_hops=n_rounds)
+                              n_hops=n_rounds, counts9=counts9)
     new = grid_lookup(donor[:, None].astype(jnp.float32), labels,
                       cfg)[..., 0].astype(jnp.int32)
     ok = (jnp.abs(new // gw - ty) <= 1) & (jnp.abs(new % gw - tx) <= 1)
     return jnp.where(ok, new, labels)
 
 
-def donor_chain_table(counts, sym25, gh, gw, min_size, n_hops=3):
+def donor_chain_table(counts, sym25, gh, gw, min_size, n_hops=3,
+                      counts9=None):
     """Fully-resolved merge targets from a single measurement.
 
     Extends :func:`donor_table_from_counts` to all-small neighbourhoods: a
@@ -362,9 +442,20 @@ def donor_chain_table(counts, sym25, gh, gw, min_size, n_hops=3):
     neighbour that is strictly greater in ``(count, -index)`` order (so the
     pointer graph is acyclic by construction), and the table is squared
     ``n_hops`` times (``d = d[d]``, covering ``2**n_hops``-long chains with
-    K-sized gathers).  A chain that never reaches a kept label leaves its
-    members unchanged — the same terminal behaviour the round-based merge
-    had after exhausting its rounds.
+    K-sized gathers).  The chain merge is a different (order-independent,
+    single-measurement) approximation of skimage's min-size semantics than
+    a round-based re-measuring merge — e.g. some long chains resolve in one
+    shot that rounds would need several passes for, and a few below-floor
+    labels whose neighbourhood only opens up after other merges survive —
+    validated by the re-measured pipeline ARS (QUALITY.md).  A chain that
+    never reaches a kept label leaves its members unchanged.
+
+    When ``counts9`` (the (gh, gw, 9) per-tile/offset pixel counts) is
+    given, merges are *all-or-nothing per source label*: a chain only fires
+    when its terminal lies inside the 3x3 seed window of **every** tile the
+    source's pixels occupy, and every intermediate link's chain also fires —
+    so a kept label can never absorb a fragment it does not touch (which
+    could split it into multiple 4-connected components).
 
     :returns: (K,) int32 — final kept target per label, or the label itself
     """
@@ -394,15 +485,44 @@ def donor_chain_table(counts, sym25, gh, gw, min_size, n_hops=3):
         best_fb = jnp.where(take, nidx, best_fb)
     fb = jnp.where(best_score.reshape(k) > 0.0, best_fb.reshape(k), idx)
 
-    d = jnp.where(small & (donor == idx), fb, donor)
+    d1 = jnp.where(small & (donor == idx), fb, donor)
+    d = d1
     for _ in range(max(int(n_hops), 1)):
         d = d[d]
+    fire = small & ~small[d]
+    if counts9 is not None:
+        # all-or-nothing: the terminal must be window-valid for every tile
+        # the source's pixels occupy, and every link of the chain must fire
+        # too — otherwise a kept label could absorb non-touching fragments
+        # and end up 4-disconnected (the chain guarantees contact only
+        # link-to-link)
+        ty_min, ty_max, tx_min, tx_max = label_tile_extents(counts9, gh, gw)
+        dy, dx = d // gw, d % gw
+        ok = ((jnp.abs(dy - ty_min) <= 1) & (jnp.abs(dy - ty_max) <= 1)
+              & (jnp.abs(dx - tx_min) <= 1) & (jnp.abs(dx - tx_max) <= 1)
+              | ~small)
+        dd = d1
+        for _ in range(max(int(n_hops), 1)):
+            ok = ok & ok[dd]
+            dd = dd[dd]
+        fire = fire & ok
     # only fire merges that terminate on a kept label
-    return jnp.where(small & ~small[d], d, idx)
+    return jnp.where(fire, d, idx)
 
 
 def _connect_components(labels, reached0, cfg: SlicConfig):
     h, w = labels.shape
+
+    # core seeding (mirrors ops/enforce_pallas): uniformly-surrounded pixels
+    # seed as reached, so the reach while converges in ~2 sweeps; large
+    # solid fragments keep their label (skimage gives them a fresh id)
+    vsame = ((labels == _shift_img(labels, 1, 0, -9))
+             & (labels == _shift_img(labels, -1, 0, -9)))
+    hsame = ((labels == _shift_img(labels, 0, 1, -9))
+             & (labels == _shift_img(labels, 0, -1, -9)))
+    core = (vsame & hsame & _shift_img(vsame, 0, 1, False)
+            & _shift_img(vsame, 0, -1, False))
+    reached0 = reached0 | core
 
     from pyimsegm_tpu.ops.slic import _pallas_available
     if _pallas_available():

@@ -186,6 +186,114 @@ def grid_lookup_pallas(table, labels, cfg: SlicConfig):
     return out[:cfg.height, :cfg.width]
 
 
+def _pair_count_kernel(labels_ref, labels_down_ref, out_ref, *,
+                       cfg: SlicConfig):
+    """Conn4 pair *counts* + pixel counts, field-packed, MXU-reduced.
+
+    labels_ref / labels_down_ref: (1, step, wp) int32 — the tile row and the
+    same row shifted up one pixel.  out_ref: (1, 252, gw) f32 — per routing
+    offset ``oa`` (9) x word ``k`` (14) x field (lo/hi), pooled to tile
+    columns.  Word k < 13 packs boundary-pair counts for channels
+    ``ch = 2k`` (lo field, x1) and ``ch = 2k+1`` (hi field, x65536); word 13
+    is the per-offset pixel count.  Packed per-pixel values stay <= 131074
+    and every contraction sum < 2^24, so f32 arithmetic is exact end-to-end.
+    """
+    step, gw = cfg.step, cfg.grid_w
+    wp = cfg.pad_w
+    i = pl.program_id(0)
+    labels = labels_ref[0]
+    oa = _offset_code(labels, i, cfg)
+
+    ga_y = labels // gw
+    ga_x = labels - ga_y * gw
+
+    def pair_fields(b):
+        gb_y = b // gw
+        gb_x = b - gb_y * gw
+        dy = gb_y - ga_y
+        dx = gb_x - ga_x
+        ok = ((labels != b) & (b >= 0) & (labels >= 0)
+              & (jnp.abs(dy) <= 2) & (jnp.abs(dx) <= 2))
+        ch = (dy + 2) * 5 + (dx + 2)
+        val = jnp.where((ch & 1) == 1, 65536.0, 1.0)
+        return ok, ch >> 1, val
+
+    minus2 = jnp.full((step, 1), -2, jnp.int32)
+    b_right = jnp.concatenate([labels[:, 1:], minus2], axis=1)
+    srcs = [pair_fields(b_right), pair_fields(labels_down_ref[0])]
+    words = []
+    for k in range(13):
+        w = jnp.zeros((step, wp), jnp.float32)
+        for ok, wk, val in srcs:
+            w = w + jnp.where(ok & (wk == k), val, 0.0)
+        words.append(w)
+
+    # block-diagonal sublane-sum selector: row k sums word k's pixel rows
+    r_of = jax.lax.broadcasted_iota(jnp.int32, (14, 14 * step), 0)
+    c_of = jax.lax.broadcasted_iota(jnp.int32, (14, 14 * step), 1) // step
+    blk = (r_of == c_of).astype(jnp.float32)
+
+    per_oi = []
+    for oi in range(9):
+        sel = oa == oi
+        stacked = jnp.concatenate(
+            [jnp.where(sel, w, 0.0) for w in words]
+            + [sel.astype(jnp.float32)], axis=0)          # (14*step, wp)
+        per_oi.append(jnp.dot(blk, stacked,
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST))
+    v = jnp.concatenate(per_oi, axis=0)                   # (126, wp)
+    hi = jnp.floor(v * (1.0 / 65536.0))
+    lo = v - hi * 65536.0
+    sel_pool = _sel_pool(cfg)
+    out_ref[0] = jnp.dot(jnp.concatenate([lo, hi], axis=0), sel_pool,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.jit, static_argnames=('cfg',))
+def grid_pair_count_pallas(labels, cfg: SlicConfig):
+    """Conn4 directed boundary-pair counts + pixel counts in one launch.
+
+    :param labels: (H, W) int32 grid-structured labels
+    :returns: (cnt9 (gh, gw, 9, 25) f32 directed pair counts grouped by the
+        first endpoint's routing offset — same tensor as the XLA
+        ``_pair_counts_einsum`` sum over right+down sources — and
+        counts9 (gh, gw, 9) f32 pixel counts per routing offset)
+    """
+    gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
+    ph, pw = cfg.pad_h - labels.shape[0], cfg.pad_w - labels.shape[1]
+    labels_p = jnp.pad(labels, [(0, ph), (0, pw)], constant_values=-2)
+    labels_down = jnp.concatenate(
+        [labels_p[1:], jnp.full((1, cfg.pad_w), -2, labels_p.dtype)], axis=0)
+
+    pooled = pl.pallas_call(
+        functools.partial(_pair_count_kernel, cfg=cfg),
+        grid=(gh,),
+        in_specs=[
+            pl.BlockSpec((1, step, cfg.pad_w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, step, cfg.pad_w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 252, gw), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((gh, 252, gw), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(labels_p.reshape(gh, step, cfg.pad_w),
+      labels_down.reshape(gh, step, cfg.pad_w))
+
+    lo = pooled[:, :126].reshape(gh, 9, 14, gw)
+    hi = pooled[:, 126:].reshape(gh, 9, 14, gw)
+    counts9 = jnp.transpose(lo[:, :, 13], (0, 2, 1))      # (gh, gw, 9)
+    # interleave lo/hi back into the 25 channels (ch = 2k / 2k+1)
+    pairs = jnp.stack([lo[:, :, :13], hi[:, :, :13]], axis=3) \
+        .reshape(gh, 9, 26, gw)[:, :, :25]
+    cnt9 = jnp.transpose(pairs, (0, 3, 1, 2))             # (gh, gw, 9, 25)
+    return cnt9, counts9
+
+
 def _adjacency_kernel(labels_ref, labels_down_ref, out_ref, *,
                       cfg: SlicConfig):
     """Conn4 pair presence, bit-packed.

@@ -335,6 +335,22 @@ def _local_enforce_connectivity(labels_loc, cfg: SlicConfig, lgh, t0,
                             jnp.int32(-1))
     lab_pad = _pad_rows(labels_loc, la, lb_)
 
+    # core seeding (mirrors ops.grid._connect_components / enforce_pallas):
+    # uniformly-surrounded pixels seed as reached so the while converges in
+    # ~2 exchanges' worth of bends instead of trickling
+    def _xshift(arr, dj, fill):
+        padc = jnp.pad(arr, ((0, 0), (max(-dj, 0), max(dj, 0))),
+                       constant_values=fill)
+        return padc[:, max(dj, 0):max(dj, 0) + wp]
+
+    vsame = ((labels_loc == lab_pad[0:hb]) & (labels_loc == lab_pad[2:hb + 2])
+             & (labels_loc >= 0))
+    hsame = ((labels_loc == _xshift(labels_loc, 1, -9))
+             & (labels_loc == _xshift(labels_loc, -1, -9)))
+    core = (vsame & hsame & _xshift(vsame, 1, False)
+            & _xshift(vsame, -1, False))
+    reached0 = reached0 | core
+
     def reach_body(state):
         reached, _, it = state
         ra, rb = _row_exchange(reached[-1], reached[0], axis_name, n_dev,
@@ -358,16 +374,29 @@ def _local_enforce_connectivity(labels_loc, cfg: SlicConfig, lgh, t0,
 
     # min-size merge (skimage semantics): identical replicated donor tables
     # as the batch path's ops.grid.min_size_merge, so sharded and single-chip
-    # pipelines take the same merge decisions
-    from pyimsegm_tpu.ops.grid import donor_chain_table, sym_contact_counts
-    min_size = 0.5 * step * step
+    # pipelines take the same merge decisions (same int() floor, same
+    # counts9-gated all-or-nothing chains)
+    from pyimsegm_tpu.ops.grid import (_shift2d, donor_chain_table,
+                                       sym_contact_counts)
+    min_size = int(0.5 * step * step)
     ty = jax.lax.broadcasted_iota(jnp.int32, (hb, wp), 0) // step + t0
     tx = jax.lax.broadcasted_iota(jnp.int32, (hb, wp), 1) // step
-    counts = _local_segment_sum(jnp.ones((hb, wp, 1), jnp.float32),
-                                labels_loc, cfg, lgh, t0, axis_name)[:, 0]
+    off9, _ok9 = _local_offsets(labels_loc, cfg, lgh, t0)
+    counts9_loc = jnp.stack(
+        [jnp.where(off9 == oi, 1.0, 0.0)
+         .reshape(lgh, step, gw, step).sum(axis=(1, 3)) for oi in range(9)],
+        axis=-1)
+    counts9 = jax.lax.psum(jax.lax.dynamic_update_slice(
+        jnp.zeros((gh, gw, 9), jnp.float32), counts9_loc, (t0, 0, 0)),
+        axis_name)
+    counts_g = jnp.zeros((gh, gw), jnp.float32)
+    for idx, (di, dj) in enumerate(_OFFSETS):
+        counts_g = counts_g + _shift2d(counts9[:, :, idx], di, dj)
+    counts = counts_g.reshape(gh * gw)
     raw = _local_pair_counts(labels_loc, cfg, lgh, t0, axis_name, n_dev)
     sym25 = sym_contact_counts(raw, gh, gw)
-    donor = donor_chain_table(counts, sym25, gh, gw, min_size)
+    donor = donor_chain_table(counts, sym25, gh, gw, min_size,
+                              counts9=counts9)
     new = _local_table_lookup(donor[:, None].astype(jnp.float32),
                               labels_loc, cfg, lgh, t0)[..., 0]
     new = jnp.round(new).astype(jnp.int32)
