@@ -395,6 +395,39 @@ def _fold_batched_fit_predict(clf_name, hyper):
     raise ValueError(clf_name)
 
 
+def _fold_mats(features, labels, folds):
+    """(x, class-indexed y, per-fold train-weight matrix) for the vmapped
+    CV programs: fold membership is expressed purely through 0/1 sample
+    weights so every fold shares static shapes."""
+    x = np.asarray(features, np.float32)
+    classes = np.unique(labels)
+    y = np.searchsorted(classes, labels).astype(np.int32)
+    w_tr = np.zeros((len(folds), x.shape[0]), np.float32)
+    for i, (train_idx, _test) in enumerate(folds):
+        w_tr[i, np.asarray(train_idx, int)] = 1.0
+    return x, y, len(classes), w_tr
+
+
+def _fold_accuracy_fn(clf_name, hyper, xd, yd, n_classes):
+    """One fold's fit+predict+score as a pure function of (key, weights);
+    ``hyper`` values may be tracers for the non-static knobs."""
+    fit, predict = _fold_batched_fit_predict(clf_name, hyper)
+
+    def one_fold(key, w):
+        wsum = jnp.maximum(jnp.sum(w), 1.0)
+        mu = jnp.sum(xd * w[:, None], axis=0) / wsum
+        sd = jnp.sqrt(jnp.sum(((xd - mu) ** 2) * w[:, None], axis=0)
+                      / wsum) + 1e-12
+        xs = (xd - mu) / sd
+        params = fit(key, xs, yd, w, n_classes)
+        pred = jnp.argmax(predict(params, xs), axis=-1)
+        test_w = 1.0 - w
+        hits = jnp.sum((pred == yd) * test_w)
+        return hits / jnp.maximum(jnp.sum(test_w), 1.0)
+
+    return one_fold
+
+
 def _eval_cv_scores_fold_batched(clf_name, features, labels, folds, seed,
                                  hyper):
     """All CV folds fitted/scored in ONE vmapped device program.
@@ -405,32 +438,75 @@ def _eval_cv_scores_fold_batched(clf_name, features, labels, folds, seed,
     fit+predict+score chain — the TPU replacement for the reference's
     joblib ``n_jobs`` search parallelism (`classification.py:1004-1023`).
     """
-    x = np.asarray(features, np.float32)
-    classes = np.unique(labels)
-    y = np.searchsorted(classes, labels).astype(np.int32)
-    n, _ = x.shape
-    w_tr = np.zeros((len(folds), n), np.float32)
-    for i, (train_idx, _test) in enumerate(folds):
-        w_tr[i, np.asarray(train_idx, int)] = 1.0
-
-    fit, predict = _fold_batched_fit_predict(clf_name, hyper)
-    xd, yd = jnp.asarray(x), jnp.asarray(y)
-
-    def one_fold(key, w):
-        wsum = jnp.maximum(jnp.sum(w), 1.0)
-        mu = jnp.sum(xd * w[:, None], axis=0) / wsum
-        sd = jnp.sqrt(jnp.sum(((xd - mu) ** 2) * w[:, None], axis=0)
-                      / wsum) + 1e-12
-        xs = (xd - mu) / sd
-        params = fit(key, xs, yd, w, len(classes))
-        pred = jnp.argmax(predict(params, xs), axis=-1)
-        test_w = 1.0 - w
-        hits = jnp.sum((pred == yd) * test_w)
-        return hits / jnp.maximum(jnp.sum(test_w), 1.0)
-
+    x, y, n_classes, w_tr = _fold_mats(features, labels, folds)
+    one_fold = _fold_accuracy_fn(clf_name, hyper, jnp.asarray(x),
+                                 jnp.asarray(y), n_classes)
     keys = jax.random.split(jax.random.PRNGKey(seed), len(folds))
     accs = jax.jit(jax.vmap(one_fold))(keys, jnp.asarray(w_tr))
     return [float(a) for a in np.asarray(accs)]
+
+
+#: hyper knobs that may be traced (no shape/loop-count effect) — these ride
+#: a vmapped candidate axis inside one device program during random search
+_TRACED_HYPER = {'LogistRegr': ('l2',), 'SVM': ('C',),
+                 'GradBoost': ('learning_rate',)}
+_TRACED_DEFAULTS = {'l2': 1e-4, 'C': 1.0, 'learning_rate': 0.1}
+
+
+def _search_candidate_groups(clf_name, candidates):
+    """Group hyper candidates by their static (shape-determining) knobs.
+
+    :returns: list of (static_hyper dict, candidate indices, (G, T) float
+        matrix of the group's traced-knob values) — one device dispatch per
+        group; the default LogistRegr/SVM/GradBoost spaces collapse their
+        continuous axes into the traced matrix, so the whole search runs in
+        at most #static-combos dispatches.
+    """
+    traced_keys = _TRACED_HYPER.get(clf_name, ())
+    groups = {}
+    for ci, h in enumerate(candidates):
+        stat = tuple(sorted((k, v) for k, v in h.items()
+                            if k not in traced_keys))
+        groups.setdefault(stat, []).append(ci)
+    out = []
+    for stat, idxs in groups.items():
+        tmat = np.asarray(
+            [[float(candidates[ci].get(k, _TRACED_DEFAULTS[k]))
+              for k in traced_keys] for ci in idxs], np.float32)
+        out.append((dict(stat), idxs, tmat))
+    return out
+
+
+def _eval_cv_search_batched(clf_name, features, labels, folds, seed,
+                            candidates):
+    """Mean CV accuracy for EVERY hyper candidate, candidate axis on device.
+
+    Candidates are grouped by static knobs (`_search_candidate_groups`);
+    within a group the traced knobs ride an outer ``vmap`` over the
+    fold-batched program, so the random search costs #groups device
+    dispatches instead of #candidates x #folds fits — the TPU counterpart
+    of the reference's joblib-parallel ``RandomizedSearchCV``
+    (`/root/reference/imsegm/classification.py:1004-1023`).
+
+    :returns: (n_candidates,) mean-over-folds accuracy, candidate order in.
+    """
+    x, y, n_classes, w_tr = _fold_mats(features, labels, folds)
+    xd, yd, wd = jnp.asarray(x), jnp.asarray(y), jnp.asarray(w_tr)
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(folds))
+    traced_keys = _TRACED_HYPER.get(clf_name, ())
+    scores = np.zeros(len(candidates), np.float64)
+    for stat_h, idxs, tmat in _search_candidate_groups(clf_name, candidates):
+
+        def one_cand(tvec):
+            h = dict(stat_h)
+            for j, k in enumerate(traced_keys):
+                h[k] = tvec[j]
+            one_fold = _fold_accuracy_fn(clf_name, h, xd, yd, n_classes)
+            return jnp.mean(jax.vmap(one_fold)(keys, wd))
+
+        accs = jax.jit(jax.vmap(one_cand))(jnp.asarray(tmat))
+        scores[np.asarray(idxs)] = np.asarray(accs, np.float64)
+    return scores
 
 
 def eval_classif_cross_val_scores(clf_name, features, labels, cross_val=10,
@@ -475,14 +551,29 @@ def create_classif_search_train_export(clf_name, features, labels,
 
     best_hyper, best_score = {}, -np.inf
     if len(candidates) > 1:
-        for hyper in candidates:
-            scores = eval_classif_cross_val_scores(
-                clf_name, features, labels, cross_val=cross_val,
-                pca_coef=pca_coef, seed=seed, **hyper)
-            score = float(np.mean(scores))
-            logging.debug('search %s %r -> %.4f', clf_name, hyper, score)
-            if score > best_score:
-                best_score, best_hyper = score, hyper
+        if pca_coef is None and clf_name in _FOLD_BATCHED_CLFS:
+            # whole search on device: one dispatch per static-knob group
+            if isinstance(cross_val, int):
+                cv = CrossValidate(len(labels),
+                                   max(1, len(labels) // cross_val),
+                                   rand_seed=seed)
+            else:
+                cv = cross_val
+            scores = _eval_cv_search_batched(clf_name, features, labels,
+                                             list(cv), seed, candidates)
+            for hyper, score in zip(candidates, scores):
+                logging.debug('search %s %r -> %.4f', clf_name, hyper, score)
+            best = int(np.argmax(scores))
+            best_score, best_hyper = float(scores[best]), candidates[best]
+        else:
+            for hyper in candidates:
+                scores = eval_classif_cross_val_scores(
+                    clf_name, features, labels, cross_val=cross_val,
+                    pca_coef=pca_coef, seed=seed, **hyper)
+                score = float(np.mean(scores))
+                logging.debug('search %s %r -> %.4f', clf_name, hyper, score)
+                if score > best_score:
+                    best_score, best_hyper = score, hyper
     classif = Classifier(clf_name, pca_coef=pca_coef, seed=seed, **best_hyper)
     classif.fit(features, labels)
     if path_out:

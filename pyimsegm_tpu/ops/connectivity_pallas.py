@@ -51,14 +51,36 @@ _INF = 2 ** 30
 #: max decided tile rows per band (halo is 2 tile rows each side)
 _BAND_R = 16
 _HALO = 2
+#: live (band_rows, wp) i32/f32 temporaries the reach/absorb kernels hold
+#: (calibrated: the r02 bench ran 595x1225 bands inside the 64M cap)
+PLANES_2LAUNCH = 22
+VMEM_2LAUNCH = 64 * 1024 * 1024
 
 
-def band_rows_for(gh):
+def band_rows_for(gh, step=None, wp=None, planes=PLANES_2LAUNCH,
+                  budget=VMEM_2LAUNCH):
     """Decided tile rows per band: the smallest band height that still needs
-    ``ceil(gh / _BAND_R)`` bands — minimises wasted bottom-band padding and
-    halo overhead (e.g. gh=26 -> 2 bands of 13 instead of 4 of 8)."""
-    n_bands = -(-gh // _BAND_R)
+    ``ceil(gh / cap)`` bands — minimises wasted bottom-band padding and halo
+    overhead (e.g. gh=26 -> 2 bands of 13 instead of 4 of 8).
+
+    When ``step``/``wp`` are given, the cap is additionally derived from a
+    per-kernel VMEM stack budget: a band of ``r`` decided tile rows holds
+    ``planes`` live (band_rows, wp) vector temporaries on the kernel stack,
+    so ``(r + 2*_HALO) * step * wp * 4 * planes`` must stay under ``budget``
+    (the round-3 bench OOM'd exactly here — 109.18M stack vs a 100M scoped
+    limit at 16-tile-row bands; see VERDICT.md r3)."""
+    cap = _BAND_R
+    if step is not None and wp is not None:
+        rows_fit = budget // (planes * wp * 4)
+        cap = max(1, min(cap, rows_fit // step - 2 * _HALO))
+    n_bands = -(-gh // cap)
     return -(-gh // n_bands)
+
+
+def band_fits(step, wp, planes=PLANES_2LAUNCH, budget=VMEM_2LAUNCH):
+    """True when even a minimal (r_dec=1) band's stack estimate fits the
+    scoped-VMEM budget — callers must fall back to the XLA path otherwise."""
+    return (1 + 2 * _HALO) * step * planes * wp * 4 <= budget
 #: reach sweep cap, shared with the XLA path (`ops/grid.py`): each sweep
 #: resolves one geodesic bend; components needing more are degenerate mazes
 #: (noise) whose remainder the absorb pass merges — output stays connected
@@ -220,7 +242,7 @@ def reach_absorb_pallas(labels_p, reached0, cfg: SlicConfig):
     """
     gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
     wp = cfg.pad_w
-    r_dec = band_rows_for(gh)
+    r_dec = band_rows_for(gh, step, wp)
     n_bands = -(-gh // r_dec)
     dec_rows = r_dec * step
     band_rows = (r_dec + 2 * _HALO) * step

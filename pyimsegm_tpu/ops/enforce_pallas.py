@@ -39,9 +39,22 @@ from jax.experimental.pallas import tpu as pltpu
 from pyimsegm_tpu.ops.slic import SlicConfig
 from pyimsegm_tpu.ops.connectivity_pallas import (
     MAX_SWEEPS, _HALO, _INF, _banded, _max_scan, _min_scan, _shift,
-    band_rows_for)
+    band_fits, band_rows_for)
 
 _BIG = 1e10  # +inf stand-in (inf * 0 = nan would poison the selector matmul)
+
+#: live (band_rows, wp) vector temporaries this kernel's stack holds —
+#: calibrated from the round-3 compile OOM: 109.18M observed at 595x1225
+#: bands = ~37.4 planes; 42 leaves headroom for Mosaic scheduling variance
+PLANES_FUSED = 42
+VMEM_FUSED = 100 * 1024 * 1024
+
+
+def fused_fits(cfg: SlicConfig):
+    """True when a minimal band of this kernel fits the scoped-VMEM budget;
+    callers must take the two-launch/XLA path otherwise (the mandatory size
+    guard — this kernel OOM'd the round-3 bench unconditionally)."""
+    return band_fits(cfg.step, cfg.pad_w, PLANES_FUSED, VMEM_FUSED)
 
 
 def _enforce_kernel(lab_ref, cyx_ref, out_ref, *, cfg: SlicConfig,
@@ -164,22 +177,13 @@ def _enforce_kernel(lab_ref, cyx_ref, out_ref, *, cfg: SlicConfig,
             take = code == oi
             dm = jnp.where(take, _shift(fb, -dj * step, 1, _BIG), dm)
 
-    # core seeding: a pixel whose whole 3x3 neighbourhood shares its label
-    # is deep inside *some* component — seeding all of them makes the reach
-    # while converge in ~2 sweeps (the anchor alone trickles for ~8 on
-    # fragmented images).  Semantics: reach = connected to (anchor | core),
-    # so a detached fragment thick enough to contain a 3x3 solid block keeps
-    # its label instead of being absorbed — closer to skimage, which gives
-    # such large fragments their own new id rather than merging them
-    # (`skimage/segmentation/_slic.py` min_size split); thin slivers (the
-    # overwhelming case) still absorb exactly as before.
-    # (int32 0/1 — Mosaic cannot rotate i1 vectors)
-    vsame = ((lab == _shift(lab, 1, 0, -9)) & (lab == _shift(lab, -1, 0, -9))
-             & valid).astype(jnp.int32)
-    hsame = (lab == _shift(lab, 1, 1, -9)) & (lab == _shift(lab, -1, 1, -9))
-    core = ((vsame != 0) & hsame & (_shift(vsame, 1, 1, 0) != 0)
-            & (_shift(vsame, -1, 1, 0) != 0))
-    r = (((d2 <= dm + 1e-3) & valid) | core).astype(jnp.int32)
+    # seed = anchor only (pixels nearest their own centroid): reach is then
+    # exactly "connected to the anchor", so enforcement leaves every
+    # superpixel a single 4-connected region — the contract
+    # `enforce_grid_connectivity` documents and `tests/test_slic.py` pins.
+    # (round 3 additionally seeded 3x3-solid "cores" to cut reach sweeps,
+    # which let thick detached fragments survive multi-component — reverted)
+    r = ((d2 <= dm + 1e-3) & valid).astype(jnp.int32)
 
     # ---- reach: run-constrained scan sweeps (ops/connectivity_pallas) ---
     lim_w = min(wp, 3 * step + 2)
@@ -263,7 +267,8 @@ def enforce_fused_pallas(labels_p, centers, cfg: SlicConfig,
     """
     gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
     wp = cfg.pad_w
-    r_dec = band_rows_for(gh)
+    r_dec = band_rows_for(gh, step, wp, planes=PLANES_FUSED,
+                          budget=VMEM_FUSED)
     n_bands = -(-gh // r_dec)
     dec_rows = r_dec * step
     band_tr = r_dec + 2 * _HALO
@@ -302,6 +307,6 @@ def enforce_fused_pallas(labels_p, centers, cfg: SlicConfig,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_bands, dec_rows, wp), jnp.int32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_FUSED),
     )(lab_bands, cyx)
     return out.reshape(n_bands * dec_rows, wp)[:cfg.pad_h]

@@ -195,6 +195,20 @@ def grid_segment_min(value, labels, cfg: SlicConfig):
     return out.reshape(gh * gw)
 
 
+def _enforce_backend(cfg: SlicConfig):
+    """Size-guarded dispatch for :func:`enforce_grid_connectivity`:
+    ``'fused'`` (one banded Pallas launch) only when the kernel's band stack
+    estimate fits the scoped-VMEM budget, else ``'xla'`` (anchor seed +
+    :func:`_connect_components`, which has its own narrower-band guard).
+    The round-3 driver bench OOM'd at compile time precisely because this
+    guard was missing (VERDICT.md r3)."""
+    from pyimsegm_tpu.ops.slic import _pallas_available
+    if not _pallas_available():
+        return 'xla'
+    from pyimsegm_tpu.ops.enforce_pallas import fused_fits
+    return 'fused' if fused_fits(cfg) else 'xla'
+
+
 def enforce_grid_connectivity(labels, cfg: SlicConfig, min_size=None,
                               centers=None):
     """Make every superpixel a single 4-connected region, on device.
@@ -249,8 +263,7 @@ def enforce_grid_connectivity(labels, cfg: SlicConfig, min_size=None,
     else:
         cyx = jnp.asarray(centers, jnp.float32)
 
-    from pyimsegm_tpu.ops.slic import _pallas_available
-    if _pallas_available():
+    if _enforce_backend(cfg) == 'fused':
         # one banded launch: anchor seed + reach + absorb all in VMEM
         # (the XLA anchor stage below costs ~14 ms/13 MPix on its own)
         from pyimsegm_tpu.ops.enforce_pallas import enforce_fused_pallas
@@ -259,6 +272,8 @@ def enforce_grid_connectivity(labels, cfg: SlicConfig, min_size=None,
         if min_size:
             labels = min_size_merge(labels, cfg, min_size)
         return labels
+    # else: XLA anchor seed + two-launch/XLA reach+absorb (those kernels
+    # hold fewer live temporaries, so they band narrower and always fit)
 
     cpix = grid_lookup(cyx, labels, cfg)            # per-pixel own centroid
     d2 = (py - cpix[..., 0]) ** 2 + (px - cpix[..., 1]) ** 2
@@ -513,25 +528,16 @@ def donor_chain_table(counts, sym25, gh, gw, min_size, n_hops=3,
 def _connect_components(labels, reached0, cfg: SlicConfig):
     h, w = labels.shape
 
-    # core seeding (mirrors ops/enforce_pallas): uniformly-surrounded pixels
-    # seed as reached, so the reach while converges in ~2 sweeps; large
-    # solid fragments keep their label (skimage gives them a fresh id)
-    vsame = ((labels == _shift_img(labels, 1, 0, -9))
-             & (labels == _shift_img(labels, -1, 0, -9)))
-    hsame = ((labels == _shift_img(labels, 0, 1, -9))
-             & (labels == _shift_img(labels, 0, -1, -9)))
-    core = (vsame & hsame & _shift_img(vsame, 0, 1, False)
-            & _shift_img(vsame, 0, -1, False))
-    reached0 = reached0 | core
-
     from pyimsegm_tpu.ops.slic import _pallas_available
     if _pallas_available():
-        # banded VMEM-resident reach+absorb (same scan algorithm as below,
-        # but iterating at vector-memory bandwidth instead of HBM)
-        from pyimsegm_tpu.ops.connectivity_pallas import reach_absorb_pallas
-        labels_p = _pad_to_grid(labels, cfg, fill=-9)
-        reached_p = _pad_to_grid(reached0, cfg, fill=False)
-        return reach_absorb_pallas(labels_p, reached_p, cfg)[:h, :w]
+        from pyimsegm_tpu.ops.connectivity_pallas import (band_fits,
+                                                          reach_absorb_pallas)
+        if band_fits(cfg.step, cfg.pad_w):
+            # banded VMEM-resident reach+absorb (same scan algorithm as
+            # below, but iterating at vector-memory bandwidth, not HBM)
+            labels_p = _pad_to_grid(labels, cfg, fill=-9)
+            reached_p = _pad_to_grid(reached0, cfg, fill=False)
+            return reach_absorb_pallas(labels_p, reached_p, cfg)[:h, :w]
 
     # -- reach: run-constrained scan sweeps instead of 1-px wavefronts.
     # Per direction, a cumulative max/min locates the nearest reached pixel

@@ -154,9 +154,9 @@ def slic_segment_sharded(image, sp_size, sp_regul, mesh=None, n_iter=10,
     # replicated preprocessing (cheap); pixels then shard by rows
     lab = _prepare_image(image)
     ph, pw = cfg.pad_h - cfg.height, cfg.pad_w - cfg.width
-    # same bf16 pixel quantisation as ops/slic.py (pixels only, not the
-    # initial center colors), so sharded and single-device paths assign
-    # from identical values
+    # same bf16 quantisation as ops/slic.py for BOTH the pixel buffer and
+    # the sampled seed colors (`_seed_centers` samples the bf16 planes), so
+    # sharded and single-device paths assign from identical values
     lab_p = jnp.pad(lab, [(0, ph), (0, pw), (0, 0)], mode='edge')
     lab_p = lab_p.astype(jnp.bfloat16).astype(jnp.float32)
     valid = jnp.pad(jnp.ones((cfg.height, cfg.width), jnp.float32),
@@ -166,7 +166,7 @@ def slic_segment_sharded(image, sp_size, sp_regul, mesh=None, n_iter=10,
     cx0 = (jnp.arange(gw, dtype=jnp.float32) + 0.5) * step - 0.5
     iy = jnp.clip(cy0.astype(jnp.int32), 0, cfg.height - 1)
     ix = jnp.clip(cx0.astype(jnp.int32), 0, cfg.width - 1)
-    init_color = lab[iy][:, ix]
+    init_color = lab[iy][:, ix].astype(jnp.bfloat16).astype(jnp.float32)
     cyg, cxg = jnp.meshgrid(cy0, cx0, indexing='ij')
     centers0 = jnp.concatenate([init_color, cyg[..., None], cxg[..., None]],
                                axis=-1)
@@ -335,21 +335,10 @@ def _local_enforce_connectivity(labels_loc, cfg: SlicConfig, lgh, t0,
                             jnp.int32(-1))
     lab_pad = _pad_rows(labels_loc, la, lb_)
 
-    # core seeding (mirrors ops.grid._connect_components / enforce_pallas):
-    # uniformly-surrounded pixels seed as reached so the while converges in
-    # ~2 exchanges' worth of bends instead of trickling
-    def _xshift(arr, dj, fill):
-        padc = jnp.pad(arr, ((0, 0), (max(-dj, 0), max(dj, 0))),
-                       constant_values=fill)
-        return padc[:, max(dj, 0):max(dj, 0) + wp]
-
-    vsame = ((labels_loc == lab_pad[0:hb]) & (labels_loc == lab_pad[2:hb + 2])
-             & (labels_loc >= 0))
-    hsame = ((labels_loc == _xshift(labels_loc, 1, -9))
-             & (labels_loc == _xshift(labels_loc, -1, -9)))
-    core = (vsame & hsame & _xshift(vsame, 1, False)
-            & _xshift(vsame, -1, False))
-    reached0 = reached0 | core
+    # (seed = anchor only, matching ops.grid._connect_components and the
+    # fused kernel: enforcement leaves every superpixel a single
+    # 4-connected region — the round-3 "core seeding" survival rule was
+    # reverted everywhere, keeping sharded == single-chip bit-equal)
 
     def reach_body(state):
         reached, _, it = state

