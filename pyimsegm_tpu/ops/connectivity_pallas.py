@@ -55,6 +55,10 @@ _HALO = 2
 #: (calibrated: the r02 bench ran 595x1225 bands inside the 64M cap)
 PLANES_2LAUNCH = 22
 VMEM_2LAUNCH = 64 * 1024 * 1024
+#: the single-launch reach+absorb kernel keeps the reach plane live across
+#: both phases, so it stacks a few more band temporaries than either
+#: two-launch kernel alone
+PLANES_FUSED_RA = 26
 
 
 def band_rows_for(gh, step=None, wp=None, planes=PLANES_2LAUNCH,
@@ -115,10 +119,13 @@ def _min_scan(v, axis, n_ceil):
     return v
 
 
-def _reach_kernel(lab_ref, rch_ref, out_ref, *, step, band_rows, dec_rows):
-    """Pass 1: anchor-component reach for one band's decided rows."""
-    lab = lab_ref[0]
-    r = rch_ref[0]                                        # int32 0/1
+def _run_reach(lab, r, *, step, band_rows, reach_cap=MAX_SWEEPS):
+    """Run-constrained reach sweeps over one VMEM band.
+
+    :param lab: (band_rows, wp) int32 labels (out-of-image -9)
+    :param r: (band_rows, wp) int32 0/1 anchor-component seed
+    :returns: (band_rows, wp) int32 0/1 reach plane
+    """
     wp = lab.shape[1]
 
     rowi = jax.lax.broadcasted_iota(jnp.int32, lab.shape, 0)
@@ -159,7 +166,7 @@ def _reach_kernel(lab_ref, rch_ref, out_ref, *, step, band_rows, dec_rows):
     # int32 carries only: Mosaic's while_loop lowering rejects i1 vectors
     def reach_cond(state):
         _, changed, it = state
-        return (changed > 0) & (it < MAX_SWEEPS)
+        return (changed > 0) & (it < reach_cap)
 
     def reach_body(state):
         r, _, it = state
@@ -169,23 +176,20 @@ def _reach_kernel(lab_ref, rch_ref, out_ref, *, step, band_rows, dec_rows):
     r, _, _ = jax.lax.while_loop(
         reach_cond, reach_body,
         (sweep(r != 0).astype(jnp.int32), jnp.int32(1), jnp.int32(1)))
-    out_ref[0] = r[_HALO * step:_HALO * step + dec_rows]
+    return r
 
 
-def _absorb_kernel(lab_ref, rch_ref, out_ref, *,
-                   step, gw, band_rows, dec_rows, r_dec, pack):
-    """Pass 2: window-constrained run-filling absorption for one band.
+def _run_absorb(lab, rch, *, step, gw, band_rows, ty0, pack, absorb_cap=12):
+    """Window-constrained run-filling absorption over one VMEM band.
 
-    ``rch_ref`` is the exact global reach from pass 1, so halo donors are
-    never under-reached; only multi-hop absorb chains crossing the halo
-    stay band-local.
+    :param rch: (band_rows, wp) int32 0/1 reach plane
+    :param ty0: global tile row of the band's first row (traced scalar)
+    :returns: (band_rows, wp) int32 absorbed labels
     """
-    lab = lab_ref[0]
     wp = lab.shape[1]
 
     rowi = jax.lax.broadcasted_iota(jnp.int32, lab.shape, 0)
     coli = jax.lax.broadcasted_iota(jnp.int32, lab.shape, 1)
-    ty0 = pl.program_id(0) * r_dec - _HALO
     ty = ty0 + rowi // step
     tx = coli // step
     none = jnp.int32(-_INF)
@@ -205,7 +209,7 @@ def _absorb_kernel(lab_ref, rch_ref, out_ref, *,
             & (jnp.abs(dl // gw - ty) <= 1) & (jnp.abs(dl % gw - tx) <= 1)
         return jnp.where(ok, dl, lab), rch | ok.astype(jnp.int32)
 
-    # int32 carries only (see _reach_kernel)
+    # int32 carries only (see _run_reach)
     def absorb_body(state):
         lab, rch, _, it = state
         r0 = rch
@@ -217,11 +221,49 @@ def _absorb_kernel(lab_ref, rch_ref, out_ref, *,
 
     def absorb_cond(state):
         _, _, changed, it = state
-        return (changed > 0) & (it < 12)
+        return (changed > 0) & (it < absorb_cap)
 
     lab, _, _, _ = jax.lax.while_loop(
-        absorb_cond, absorb_body,
-        (lab, rch_ref[0], jnp.int32(1), jnp.int32(0)))
+        absorb_cond, absorb_body, (lab, rch, jnp.int32(1), jnp.int32(0)))
+    return lab
+
+
+def _reach_kernel(lab_ref, rch_ref, out_ref, *, step, band_rows, dec_rows):
+    """Pass 1: anchor-component reach for one band's decided rows."""
+    r = _run_reach(lab_ref[0], rch_ref[0], step=step, band_rows=band_rows)
+    out_ref[0] = r[_HALO * step:_HALO * step + dec_rows]
+
+
+def _absorb_kernel(lab_ref, rch_ref, out_ref, *,
+                   step, gw, band_rows, dec_rows, r_dec, pack):
+    """Pass 2: window-constrained run-filling absorption for one band.
+
+    ``rch_ref`` is the exact global reach from pass 1, so halo donors are
+    never under-reached; only multi-hop absorb chains crossing the halo
+    stay band-local.
+    """
+    ty0 = pl.program_id(0) * r_dec - _HALO
+    lab = _run_absorb(lab_ref[0], rch_ref[0], step=step, gw=gw,
+                      band_rows=band_rows, ty0=ty0, pack=pack)
+    out_ref[0] = lab[_HALO * step:_HALO * step + dec_rows]
+
+
+def _reach_absorb_kernel(lab_ref, rch_ref, out_ref, *,
+                         step, gw, band_rows, dec_rows, r_dec, pack):
+    """Fused single launch: reach then absorb on the band already in VMEM.
+
+    Absorb reads the *band-local* reach (the two-launch version stitches
+    the exact owning-band reach through HBM): superpixels whose pixels all
+    matter to decided rows are fully band-contained (seed row within
+    decided +-1 => extent within the 2-tile-row halo), so their reach is
+    exact; only multi-hop absorb chains crossing the halo can differ —
+    the same documented drift as `ops/enforce_pallas` (<0.01% px measured,
+    no pipeline metric moves).
+    """
+    r = _run_reach(lab_ref[0], rch_ref[0], step=step, band_rows=band_rows)
+    ty0 = pl.program_id(0) * r_dec - _HALO
+    lab = _run_absorb(lab_ref[0], r, step=step, gw=gw,
+                      band_rows=band_rows, ty0=ty0, pack=pack)
     out_ref[0] = lab[_HALO * step:_HALO * step + dec_rows]
 
 
@@ -292,4 +334,58 @@ def reach_absorb_pallas(labels_p, reached0, cfg: SlicConfig):
         out_shape=out_shape,
         compiler_params=params,
     )(lab_bands, _banded(reach_full, n_bands, dec_rows, band_rows))
+    return out.reshape(n_bands * dec_rows, wp)[:cfg.pad_h]
+
+
+def fused_ra_fits(cfg: SlicConfig):
+    """True when a minimal band of the single-launch reach+absorb kernel
+    fits the scoped-VMEM budget (mandatory size guard, see VERDICT.md r3)."""
+    return band_fits(cfg.step, cfg.pad_w, PLANES_FUSED_RA, VMEM_2LAUNCH)
+
+
+@functools.partial(jax.jit, static_argnames=('cfg',))
+def reach_absorb_fused_pallas(labels_p, reached0, cfg: SlicConfig):
+    """Single-launch banded reach+absorb over grid-padded labels.
+
+    Same banding as :func:`reach_absorb_pallas`, but ONE kernel: the reach
+    plane never round-trips HBM and the band grid is sequenced once.  The
+    anchor seed stays in XLA (unlike `ops/enforce_pallas`, whose in-kernel
+    seed — unrolled selector matmuls — dominates Mosaic compile time:
+    measured ~219 s vs ~40 s per geometry for the scan-only kernels).
+    See `_reach_absorb_kernel` for the band-local-reach drift bound.
+
+    :param labels_p: (pad_h, pad_w) int32 labels, out-of-image pixels -9
+    :param reached0: (pad_h, pad_w) bool anchor-component seed
+    :returns: (pad_h, pad_w) int32 enforced labels
+    """
+    gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
+    wp = cfg.pad_w
+    r_dec = band_rows_for(gh, step, wp, planes=PLANES_FUSED_RA)
+    n_bands = -(-gh // r_dec)
+    dec_rows = r_dec * step
+    band_rows = (r_dec + 2 * _HALO) * step
+
+    top = _HALO * step
+    bottom = (n_bands * r_dec - gh + _HALO) * step
+    lab_full = jnp.pad(labels_p, ((top, bottom), (0, 0)), constant_values=-9)
+    rch_full = jnp.pad(reached0.astype(jnp.int32), ((top, bottom), (0, 0)))
+
+    pack = 1 << int(gh * gw - 1).bit_length()
+    assert max(cfg.pad_h, wp) * pack < 2 ** 31, \
+        'image too large for packed scans'
+
+    band_spec = pl.BlockSpec((1, band_rows, wp), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_reach_absorb_kernel, step=step, gw=gw,
+                          band_rows=band_rows, dec_rows=dec_rows,
+                          r_dec=r_dec, pack=pack),
+        grid=(n_bands,),
+        in_specs=[band_spec, band_spec],
+        out_specs=pl.BlockSpec((1, dec_rows, wp), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_bands, dec_rows, wp), jnp.int32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_2LAUNCH),
+    )(_banded(lab_full, n_bands, dec_rows, band_rows),
+      _banded(rch_full, n_bands, dec_rows, band_rows))
     return out.reshape(n_bands * dec_rows, wp)[:cfg.pad_h]

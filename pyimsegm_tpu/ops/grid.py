@@ -16,6 +16,8 @@ Both fall back transparently when no grid structure is available (arbitrary
 label maps still use the generic ops).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -205,6 +207,9 @@ def _enforce_backend(cfg: SlicConfig):
     from pyimsegm_tpu.ops.slic import _pallas_available
     if not _pallas_available():
         return 'xla'
+    knob = os.environ.get('PYIMSEGM_ENFORCE_KERNEL', 'auto')
+    if knob in ('rafused', 'two', 'xla'):
+        return 'xla'      # XLA seed; _connect_components picks the kernel
     from pyimsegm_tpu.ops.enforce_pallas import fused_fits
     return 'fused' if fused_fits(cfg) else 'xla'
 
@@ -530,9 +535,17 @@ def _connect_components(labels, reached0, cfg: SlicConfig):
 
     from pyimsegm_tpu.ops.slic import _pallas_available
     if _pallas_available():
-        from pyimsegm_tpu.ops.connectivity_pallas import (band_fits,
-                                                          reach_absorb_pallas)
-        if band_fits(cfg.step, cfg.pad_w):
+        from pyimsegm_tpu.ops.connectivity_pallas import (
+            band_fits, fused_ra_fits, reach_absorb_fused_pallas,
+            reach_absorb_pallas)
+        knob = os.environ.get('PYIMSEGM_ENFORCE_KERNEL', 'auto')
+        if fused_ra_fits(cfg) and knob in ('auto', 'rafused'):
+            # single-launch banded reach+absorb: the reach plane stays in
+            # VMEM (no HBM round-trip, one grid sequencing)
+            labels_p = _pad_to_grid(labels, cfg, fill=-9)
+            reached_p = _pad_to_grid(reached0, cfg, fill=False)
+            return reach_absorb_fused_pallas(labels_p, reached_p, cfg)[:h, :w]
+        if band_fits(cfg.step, cfg.pad_w) and knob != 'xla':
             # banded VMEM-resident reach+absorb (same scan algorithm as
             # below, but iterating at vector-memory bandwidth, not HBM)
             labels_p = _pad_to_grid(labels, cfg, fill=-9)

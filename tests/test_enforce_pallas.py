@@ -183,6 +183,97 @@ def test_unfit_config_skips_fused_kernel():
         assert grid_ops._enforce_backend(cfg) == 'xla'
 
 
+def _run_rafused_interpret(labels, cfg):
+    """Drive the single-launch reach+absorb kernel (XLA seed) in interpret
+    mode via the `_connect_components` dispatch."""
+    import os
+
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    import pyimsegm_tpu.ops.connectivity_pallas as cp
+    from pyimsegm_tpu.ops import grid as grid_ops
+
+    orig_call = pl.pallas_call
+    calls = []
+
+    def interp_call(*args, **kwargs):
+        kwargs['interpret'] = True
+        calls.append(1)
+        return orig_call(*args, **kwargs)
+
+    old_env = {k: os.environ.get(k) for k in
+               ('PYIMSEGM_SLIC_PALLAS', 'PYIMSEGM_ENFORCE_KERNEL')}
+    os.environ['PYIMSEGM_SLIC_PALLAS'] = '0'   # XLA seed path in the caller
+    os.environ['PYIMSEGM_ENFORCE_KERNEL'] = 'rafused'
+    try:
+        with mock.patch.object(cp.pl, 'pallas_call', interp_call), \
+             mock.patch('pyimsegm_tpu.ops.slic._pallas_available',
+                        lambda: True):
+            jax.clear_caches()
+            h, w = labels.shape
+            lab = jnp.asarray(labels, jnp.int32)
+            py = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+            px = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+            # seed exactly as enforce_grid_connectivity's XLA stage, via the
+            # portable grid ops (forced off-Pallas so only the kernel under
+            # test goes through the mocked pallas_call)
+            with mock.patch('pyimsegm_tpu.ops.slic._pallas_available',
+                            lambda: False):
+                cyx = _centers(labels, cfg)
+                cpix = grid_ops.grid_lookup(cyx, lab, cfg)
+                d2 = (py - cpix[..., 0]) ** 2 + (px - cpix[..., 1]) ** 2
+                d2min = grid_ops.grid_segment_min(d2, lab, cfg)
+                reached0 = d2 <= grid_ops.grid_lookup(d2min, lab, cfg) + 1e-3
+            got = np.asarray(grid_ops._connect_components(lab, reached0, cfg))
+    finally:
+        for k, v in old_env.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    assert len(calls) == 1, 'single-launch kernel did not run exactly once'
+    return got
+
+
+def test_rafused_single_band_matches_xla_exactly():
+    """XLA seed + single-launch reach+absorb == full XLA path when the
+    image is one band (band-local reach is then global)."""
+    from pyimsegm_tpu.ops.connectivity_pallas import (PLANES_FUSED_RA,
+                                                      band_rows_for)
+    labels, cfg = _fragmented_labels(96, 128, 16, seed=3)
+    assert band_rows_for(cfg.grid_h, cfg.step, cfg.pad_w,
+                         planes=PLANES_FUSED_RA) >= cfg.grid_h
+    want = _xla_enforced(labels, cfg)
+    got = _run_rafused_interpret(labels, cfg)
+    # _xla_enforced includes no min_size (enforce_grid_connectivity default)
+    assert (got == want).all()
+
+
+def test_enforce_kernel_knob_dispatch():
+    """PYIMSEGM_ENFORCE_KERNEL must steer the backend choice: 'rafused',
+    'two' and 'xla' bypass the in-kernel-seed fused kernel."""
+    import os
+
+    import pyimsegm_tpu.ops.grid as grid_ops
+    from pyimsegm_tpu.ops import slic as slic_ops
+
+    cfg = slic_ops.slic_config(884, 1200, 35)
+    old = os.environ.get('PYIMSEGM_ENFORCE_KERNEL')
+    try:
+        with mock.patch.object(slic_ops, '_pallas_available', lambda: True):
+            os.environ['PYIMSEGM_ENFORCE_KERNEL'] = 'auto'
+            assert grid_ops._enforce_backend(cfg) == 'fused'
+            for knob in ('rafused', 'two', 'xla'):
+                os.environ['PYIMSEGM_ENFORCE_KERNEL'] = knob
+                assert grid_ops._enforce_backend(cfg) == 'xla'
+    finally:
+        if old is None:
+            os.environ.pop('PYIMSEGM_ENFORCE_KERNEL', None)
+        else:
+            os.environ['PYIMSEGM_ENFORCE_KERNEL'] = old
+
+
 @pytest.mark.skipif(not _tpu_available(),
                     reason='bench-scale compile check needs the TPU')
 def test_fused_compiles_at_bench_scale_tpu():
