@@ -79,38 +79,58 @@ def enforce_connectivity(labels, min_size=16):
 
 
 def _enforce_connectivity_numpy(labels, min_size):
+    """Twin of the C++ kernel (same skimage semantics): components relabel
+    sequentially in raster order of their first pixel; fragments below
+    ``min_size`` merge into the most-contact already-relabelled adjacent
+    component (contact = distinct adjacent cells, ties to the smallest
+    output label)."""
     from scipy import ndimage
-    out = np.full(labels.shape, -1, np.int32)
-    next_label = 0
-    # scipy CC per input label, then merge small fragments greedily
-    comp_id = np.full(labels.shape, -1, np.int64)
-    offset = 0
-    for lb in np.unique(labels):
-        cc, n = ndimage.label(labels == lb)
-        sel = cc > 0
-        comp_id[sel] = cc[sel] + offset
-        offset += n
-    # raster scan merge
     h, w = labels.shape
-    sizes = np.bincount(comp_id.ravel())
-    for cid in np.unique(comp_id):
-        sel = comp_id == cid
-        if sizes[cid] < min_size:
-            ys, xs = np.where(sel)
-            neigh = -1
-            for y, x in zip(ys, xs):
-                for yy, xx in ((y - 1, x), (y, x - 1), (y + 1, x), (y, x + 1)):
-                    if 0 <= yy < h and 0 <= xx < w and out[yy, xx] >= 0:
-                        neigh = out[yy, xx]
-                        break
-                if neigh >= 0:
-                    break
-            if neigh >= 0:
-                out[sel] = neigh
-                continue
-        out[sel] = next_label
-        next_label += 1
-    return out
+    comp = np.full((h, w), -1, np.int64)
+    nxt = 0
+    sizes, first_px, bboxes = [], [], []
+    for lb in np.unique(labels):
+        cc, _n = ndimage.label(labels == lb)
+        for ci, sl in enumerate(ndimage.find_objects(cc), start=1):
+            sub = cc[sl] == ci
+            comp[sl][sub] = nxt
+            sizes.append(int(sub.sum()))
+            ys, xs = np.nonzero(sub)
+            o = np.lexsort((xs, ys))[0]
+            first_px.append((sl[0].start + int(ys[o]),
+                             sl[1].start + int(xs[o])))
+            bboxes.append(sl)
+            nxt += 1
+    sizes = np.asarray(sizes)
+
+    order = np.argsort([fy * w + fx for fy, fx in first_px], kind='stable')
+    remap = np.full(nxt, -1, np.int64)
+    out_next = 0
+    for comp_id in order:
+        if sizes[comp_id] >= min_size or out_next == 0:
+            remap[comp_id] = out_next
+            out_next += 1
+            continue
+        sl = bboxes[comp_id]
+        gsl = (slice(max(sl[0].start - 1, 0), min(sl[0].stop + 1, h)),
+               slice(max(sl[1].start - 1, 0), min(sl[1].stop + 1, w)))
+        win = comp[gsl]
+        sel = win == comp_id
+        nb = np.zeros_like(sel)
+        nb[:-1] |= sel[1:]
+        nb[1:] |= sel[:-1]
+        nb[:, :-1] |= sel[:, 1:]
+        nb[:, 1:] |= sel[:, :-1]
+        nb &= ~sel
+        nb_out = remap[np.maximum(win[nb], 0)]
+        nb_out = nb_out[(win[nb] >= 0) & (nb_out >= 0)]
+        if len(nb_out):
+            vals, counts = np.unique(nb_out, return_counts=True)
+            remap[comp_id] = vals[np.argmax(counts)]
+        else:
+            remap[comp_id] = out_next
+            out_next += 1
+    return remap[comp].astype(np.int32)
 
 
 def alpha_expansion(edges, weights, unary, pairwise, init_labels=None,

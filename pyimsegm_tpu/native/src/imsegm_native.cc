@@ -26,9 +26,13 @@ extern "C" {
 
 // ---------------------------------------------------------------------------
 // Connected components + fragment merging on a 2D conn4 label grid.
-// Components >= min_size keep a fresh sequential label; smaller fragments are
-// merged into the previously-visited neighboring component (skimage SLIC
-// semantics).  Returns the number of output labels.
+// Components >= min_size keep a fresh sequential label (in raster order of
+// their first pixel); smaller fragments merge into the *most-contact*
+// already-relabelled adjacent component — contact counted as the number of
+// distinct adjacent cells, ties to the smallest output label — matching
+// skimage's _enforce_label_connectivity_cython semantics (the reference
+// always runs it, /root/reference/imsegm/superpixels.py:61-63).
+// Returns the number of output labels.
 int enforce_connectivity_2d(const int32_t* labels, int h, int w,
                             int min_size, int32_t* out) {
   const int n = h * w;
@@ -37,7 +41,11 @@ int enforce_connectivity_2d(const int32_t* labels, int h, int w,
   stack.reserve(1024);
   std::vector<int> comp_pixels;
   comp_pixels.reserve(4096);
+  std::vector<int> nb_stamp(n, -1);  // component serial that counted cell q
+  std::vector<int> cnt(n, 0);        // contact count per output label
+  std::vector<int> contact_ids;      // distinct adjacent output labels
   int next_label = 0;
+  int comp_serial = 0;
   const int dr[4] = {-1, 1, 0, 0};
   const int dc[4] = {0, 0, -1, 1};
 
@@ -45,9 +53,9 @@ int enforce_connectivity_2d(const int32_t* labels, int h, int w,
     if (out[start] != -1) continue;
     // flood fill the component of labels[start] containing start
     const int32_t lab = labels[start];
-    int adjacent_out = -1;  // an already-assigned neighboring output label
     stack.clear();
     comp_pixels.clear();
+    contact_ids.clear();
     stack.push_back(start);
     out[start] = next_label;
     comp_pixels.push_back(start);
@@ -65,16 +73,27 @@ int enforce_connectivity_2d(const int32_t* labels, int h, int w,
             comp_pixels.push_back(q);
             stack.push_back(q);
           }
-        } else if (out[q] >= 0 && out[q] != next_label) {
-          adjacent_out = out[q];
+        } else if (out[q] >= 0 && nb_stamp[q] != comp_serial) {
+          nb_stamp[q] = comp_serial;
+          if (cnt[out[q]]++ == 0) contact_ids.push_back(out[q]);
         }
       }
     }
-    if (static_cast<int>(comp_pixels.size()) < min_size && adjacent_out >= 0) {
-      for (const int p : comp_pixels) out[p] = adjacent_out;
+    if (static_cast<int>(comp_pixels.size()) < min_size
+        && !contact_ids.empty()) {
+      int best = -1, best_cnt = -1;
+      for (const int id : contact_ids) {
+        if (cnt[id] > best_cnt || (cnt[id] == best_cnt && id < best)) {
+          best = id;
+          best_cnt = cnt[id];
+        }
+      }
+      for (const int p : comp_pixels) out[p] = best;
     } else {
       ++next_label;
     }
+    for (const int id : contact_ids) cnt[id] = 0;
+    ++comp_serial;
   }
   return next_label;
 }

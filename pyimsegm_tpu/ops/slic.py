@@ -472,15 +472,142 @@ def _slic_segment_xla(image, cfg: SlicConfig, compactness,
     return labels[:cfg.height, :cfg.width]
 
 
+@functools.partial(jax.jit, static_argnames=('cfg', 'n_iter'))
+def _slic_segment_xla_skimage(image, cfg: SlicConfig, compactness,
+                              n_iter=DEFAULT_SLIC_ITERS):
+    """skimage-faithful SLIC iterations (opt-in reference-compat mode).
+
+    Differences from the default `_slic_segment_xla` formulation, matching
+    skimage's Cython ``_slic`` (which the reference always calls,
+    `/root/reference/imsegm/superpixels.py:61-63`):
+
+    * **5x5 tile search window** — skimage lets every cluster claim pixels
+      within ``2*step`` of its centre, so a pixel competes among the 5x5
+      grid neighbourhood of its own tile (the default path uses the SLIC
+      paper's 3x3, which is 2.8x cheaper on the MXU but tessellates
+      differently: measured ARS 0.93 between the two variants);
+    * **float32 pixels** (no bf16 quantisation of the Lab buffer);
+    * **skimage seed geometry**: seed positions clipped into the image and
+      seed colors sampled at the *rounded* (not truncated) seed pixel;
+    * **empty clusters reset to zero** on update (skimage keeps densities
+      high enough that this never matters; kept for bit-faithfulness to the
+      published update rule rather than guarded like the default path).
+
+    Output labels are raw grid ids (K = gh*gw); the skimage postprocess
+    (split components, relabel sequentially, merge < min_size) is host-side
+    — `pyimsegm_tpu.native.enforce_connectivity` — because its output
+    labelling is inherently data-dependent (dynamic K).
+    """
+    gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
+    lab = _prepare_image(image)                        # f32, NOT quantised
+    ph, pw = cfg.pad_h - cfg.height, cfg.pad_w - cfg.width
+    lab_p = jnp.pad(lab, [(0, ph), (0, pw), (0, 0)], mode='edge')
+    valid = jnp.pad(jnp.ones((cfg.height, cfg.width), jnp.float32),
+                    [(0, ph), (0, pw)])
+    hp, wp = cfg.pad_h, cfg.pad_w
+    py = jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 0)
+    px = jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 1)
+
+    # skimage seeds: positions clipped into the image, colors at the
+    # rounded seed pixel
+    cy0 = jnp.minimum((jnp.arange(gh, dtype=jnp.float32) + 0.5) * step - 0.5,
+                      cfg.height - 1.0)
+    cx0 = jnp.minimum((jnp.arange(gw, dtype=jnp.float32) + 0.5) * step - 0.5,
+                      cfg.width - 1.0)
+    iy = jnp.clip(jnp.round(cy0).astype(jnp.int32), 0, cfg.height - 1)
+    ix = jnp.clip(jnp.round(cx0).astype(jnp.int32), 0, cfg.width - 1)
+    init_color = lab[iy][:, ix]
+    cyg, cxg = jnp.meshgrid(cy0, cx0, indexing='ij')
+    centers0 = jnp.concatenate(
+        [init_color, cyg[..., None], cxg[..., None]], axis=-1)
+
+    sw = (jnp.asarray(compactness, jnp.float32)
+          / jnp.asarray(step, jnp.float32)) ** 2
+
+    offsets = [(di, dj) for di in (-2, -1, 0, 1, 2)
+               for dj in (-2, -1, 0, 1, 2)]
+
+    def _shift(grid, di, dj):
+        pad = [(max(di, 0), max(-di, 0)), (max(dj, 0), max(-dj, 0))] \
+            + [(0, 0)] * (grid.ndim - 2)
+        padded = jnp.pad(grid, pad)
+        return padded[max(-di, 0):max(-di, 0) + gh,
+                      max(-dj, 0):max(-dj, 0) + gw]
+
+    ty = jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 0)
+    tx = jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 1)
+
+    def assign(centers):
+        best_d = jnp.full((hp, wp), _BIG, jnp.float32)
+        best_lb = jnp.zeros((hp, wp), jnp.int32)
+        best_o = jnp.zeros((hp, wp), jnp.int8)
+        for oi, (di, dj) in enumerate(offsets):
+            sy, sx = ty + di, tx + dj
+            inb = (sy >= 0) & (sy < gh) & (sx >= 0) & (sx < gw)
+            nb = jnp.roll(centers, (-di, -dj), axis=(0, 1))
+            nb_id = jnp.where(inb, (sy * gw + sx).astype(jnp.int32), 0)
+            nb = jnp.where(inb[..., None], nb, _BIG)
+            cfield = _upsample_grid(nb, step)
+            lbf = _upsample_grid(
+                nb_id[..., None].astype(jnp.float32),
+                step)[..., 0].astype(jnp.int32)
+            dc2 = jnp.sum((lab_p - cfield[..., :3]) ** 2, axis=-1)
+            ds2 = (py - cfield[..., 3]) ** 2 + (px - cfield[..., 4]) ** 2
+            d = dc2 + ds2 * sw
+            take = d < best_d
+            best_d = jnp.where(take, d, best_d)
+            best_lb = jnp.where(take, lbf, best_lb)
+            best_o = jnp.where(take, jnp.int8(oi), best_o)
+        return best_lb, best_o
+
+    def update(best_o):
+        data = jnp.concatenate(
+            [lab_p, py[..., None], px[..., None],
+             jnp.ones((hp, wp, 1), jnp.float32)], axis=-1) * valid[..., None]
+        sums = jnp.zeros((gh, gw, 6), jnp.float32)
+        for oi, (di, dj) in enumerate(offsets):
+            part = (data * (best_o == oi)[..., None].astype(jnp.float32)) \
+                .reshape(gh, step, gw, step, 6).sum(axis=(1, 3))
+            sums = sums + _shift(part, di, dj)
+        # skimage update rule: empty clusters become zero (no carry-over)
+        return sums[..., :5] / jnp.maximum(sums[..., 5:6], 1.0)
+
+    def body(_, centers):
+        _labels, best_o = assign(centers)
+        return update(best_o)
+
+    centers = jax.lax.fori_loop(0, max(n_iter - 1, 0), body, centers0)
+    labels, _ = assign(centers)
+    return labels[:cfg.height, :cfg.width]
+
+
 def segment_slic_img2d(img, sp_size=50, relative_compact=0.1, slico=False,
-                       n_iter=DEFAULT_SLIC_ITERS, enforce_connectivity=True):
+                       n_iter=DEFAULT_SLIC_ITERS, enforce_connectivity=True,
+                       compat=False):
     """Host-level convenience mirroring the reference API
     (`/root/reference/imsegm/superpixels.py:22`): returns an int32 numpy label
     map of shape ``img.shape[:2]``.
+
+    ``compat=True`` runs the skimage-faithful mode instead of the default
+    TPU formulation: 5x5 search window, f32 pixels, skimage seeding
+    (`_slic_segment_xla_skimage`), and skimage's split-relabel-merge
+    connectivity postprocess (dynamic K — the output labels are sequential
+    component ids, NOT grid-structured; downstream consumers must use the
+    generic label paths).
     """
     img = np.asarray(img)
     cfg = slic_config(img.shape[0], img.shape[1], sp_size)
     m = compactness_from_regul(sp_size, relative_compact)
+    if compat:
+        if slico:
+            raise ValueError('compat mode does not support slico')
+        labels = np.asarray(_slic_segment_xla_skimage(
+            jnp.asarray(img), cfg, m, n_iter=n_iter)).astype(np.int32)
+        if enforce_connectivity:
+            from pyimsegm_tpu import native
+            labels = native.enforce_connectivity(
+                labels, min_size=int(0.5 * cfg.step * cfg.step))
+        return np.asarray(labels, np.int32)
     labels = slic_segment(jnp.asarray(img), cfg, m, n_iter=n_iter, slico=slico)
     if enforce_connectivity:
         # merge-only device pass: single-component superpixels with stable

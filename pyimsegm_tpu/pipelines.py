@@ -264,9 +264,42 @@ def estim_model_classes_group(list_images, nb_classes, dict_features,
     return model, list_features
 
 
+def _segment_compat_core(image, model, dict_features, sp_size, sp_regul,
+                         gc_regul, gc_edge_type):
+    """Reference-compat segmentation path: skimage-semantics SLIC (5x5
+    window, f32, split-relabel-merge connectivity — dynamic K) feeding the
+    generic (non-grid) feature and graph ops.
+
+    Matches the reference's stage composition exactly
+    (`/root/reference/imsegm/pipelines.py:160-241` over skimage SLIC,
+    `superpixels.py:61-63`); used by ``sp_compat=True`` below and scored
+    against the actual reference by `tools/refrun/compare.py`.
+    """
+    img_np = np.asarray(image)
+    labels_np = slic_ops.segment_slic_img2d(
+        img_np, sp_size=sp_size, relative_compact=sp_regul, compat=True)
+    n_lb = int(labels_np.max()) + 1
+    features, _names = descriptors.compute_selected_features_img2d(
+        jnp.asarray(img_np, jnp.float32),
+        jnp.asarray(labels_np.ravel(), jnp.int32), n_lb, dict_features)
+    features = np.nan_to_num(np.asarray(features))
+    proba = np.asarray(model.predict_proba(features), np.float32)
+    graph_labels = np.asarray(graphcut.segment_graph_cut_general(
+        jnp.asarray(labels_np, jnp.int32), jnp.asarray(proba), n_lb,
+        image=jnp.asarray(img_np, jnp.float32),
+        features=jnp.asarray(features, jnp.float32),
+        gc_regul=float(gc_regul), edge_type=gc_edge_type))
+    classes = np.asarray(getattr(model, 'classes_', None)
+                         if getattr(model, 'classes_', None) is not None
+                         else np.arange(proba.shape[1]))
+    segm = classes[graph_labels][labels_np]
+    return segm, proba[labels_np]
+
+
 def segment_color2d_slic_features_model_graphcut(
         image, model_pipeline, dict_features, sp_size=30,
-        sp_regul=0.2, gc_regul=1.0, gc_edge_type='model', debug_visual=None):
+        sp_regul=0.2, gc_regul=1.0, gc_edge_type='model', debug_visual=None,
+        sp_compat=False):
     """Segment one image with a fitted model (`pipelines.py:160-241`).
 
     ``model_pipeline`` may be an unsupervised :class:`ClassModel` (fully
@@ -275,8 +308,15 @@ def segment_color2d_slic_features_model_graphcut(
     a classifier the result is relabelled by ``classes_`` exactly as the
     reference does (`pipelines.py:224-240`).
 
+    ``sp_compat=True`` routes superpixels through the skimage-faithful
+    compat mode (see :func:`_segment_compat_core`) instead of the default
+    grid-structured TPU formulation.
+
     :returns: (segm (H, W) ndarray, segm_soft (H, W, C) ndarray)
     """
+    if sp_compat:
+        return _segment_compat_core(image, model_pipeline, dict_features,
+                                    sp_size, sp_regul, gc_regul, gc_edge_type)
     image = jnp.asarray(image)
     cfg = slic_ops.slic_config(image.shape[0], image.shape[1], sp_size)
     m = slic_ops.compactness_from_regul(sp_size, sp_regul)

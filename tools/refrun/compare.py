@@ -91,6 +91,50 @@ def compare_unsup(out_dir):
     return rows
 
 
+def compare_unsup_compat(out_dir):
+    """Shared-model e2e score of the skimage-compat mode (``sp_compat=True``:
+    5x5-window f32 SLIC + split-relabel-merge connectivity + generic feature
+    and graph ops) against the actual reference outputs — the VERDICT r3
+    item-6 acceptance run (target: CIMA ARS >= 0.9)."""
+    import jax.numpy as jnp
+
+    from pyimsegm_tpu import pipelines
+    from pyimsegm_tpu.utils.metrics import adjusted_rand_score
+
+    rows = []
+    for path in sorted(glob.glob(os.path.join(out_dir, 'unsup_*.npz'))):
+        npz = np.load(path, allow_pickle=False)
+        image = _load_image(str(npz['image_path']))
+        ref_segm = npz['segm']
+
+        model = _ref_model_to_class_model(npz, jnp)
+        ours, _ = pipelines.segment_color2d_slic_features_model_graphcut(
+            image, model, FEATS, sp_size=SP_SIZE, sp_regul=SP_REGUL,
+            gc_regul=GC_REGUL, gc_edge_type='model', sp_compat=True)
+        ars = float(adjusted_rand_score(
+            jnp.asarray(ref_segm).ravel(), jnp.asarray(ours).ravel()))
+
+        # tessellation-level agreement, for attribution
+        from sklearn.metrics import adjusted_rand_score as _sk_ars
+        labels_np = None
+        try:
+            from pyimsegm_tpu.ops.slic import segment_slic_img2d
+            labels_np = segment_slic_img2d(
+                np.asarray(image), sp_size=SP_SIZE,
+                relative_compact=SP_REGUL, compat=True)
+            ars_slic = float(_sk_ars(npz['slic'].ravel(), labels_np.ravel()))
+        except Exception:
+            ars_slic = float('nan')
+
+        name = os.path.basename(path)[len('unsup_'):-len('.npz')]
+        rows.append(dict(config='unsup_compat', image=name,
+                         ars_shared_model=round(ars, 4),
+                         ars_slic_tessellation=round(ars_slic, 4)))
+        print('compat %-24s shared-model ARS %.4f   slic ARS %.4f'
+              % (name, ars, ars_slic), flush=True)
+    return rows
+
+
 def diagnose_unsup(out_dir):
     """Per-stage attribution of any unsup disagreement:
 
@@ -331,6 +375,8 @@ def main():
         diagnose_unsup(args.out)
     if 'unsup' in cfgs:
         rows += compare_unsup(args.out)
+    if 'compat' in cfgs:
+        rows += compare_unsup_compat(args.out)
     if 'sup' in cfgs:
         rows += compare_sup(args.out)
     if 'rg2sp' in cfgs:
