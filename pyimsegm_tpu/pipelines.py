@@ -157,10 +157,14 @@ def _grid_geometry(labels, cfg):
 @functools.partial(
     jax.jit,
     static_argnames=('cfg', 'feats_spec', 'nb_classes', 'estim_model',
-                     'pca_coef', 'use_scaler', 'gc_regul', 'gc_edge_type', 'seed'))
+                     'pca_coef', 'use_scaler', 'gc_regul', 'gc_edge_type',
+                     'seed'))
 def _pipe_unsup_core(image, *, cfg, feats_spec, nb_classes, estim_model,
                      pca_coef, use_scaler, gc_regul, gc_edge_type,
                      compactness, seed=0):
+    # one jitted program: SLIC -> features -> GMM-EM fit -> proba -> MRF ->
+    # upsample, all on device (running this eagerly costs ~30x in per-op
+    # dispatch latency: 345 ms vs ~11 ms device time on the config-1 image)
     labels, features, counts, centers = _slic_features_core(
         image, cfg, feats_spec, compactness)
     mask = (counts > 0).astype(jnp.float32)
@@ -174,7 +178,7 @@ def _pipe_unsup_core(image, *, cfg, feats_spec, nb_classes, estim_model,
         features=features, gc_regul=gc_regul, edge_type=gc_edge_type,
         grid_ctx=(labels, cfg), centers=centers)
     segm = grid_lookup(graph_labels, labels, cfg)
-    return segm, segm_soft, labels, features, proba, model
+    return segm, segm_soft, labels, features, proba, model, graph_labels
 
 
 @functools.partial(
@@ -192,7 +196,22 @@ def _segment_with_model_core(image, model: ClassModel, *, cfg, feats_spec,
         features=features, gc_regul=gc_regul, edge_type=gc_edge_type,
         grid_ctx=(labels, cfg), centers=centers)
     segm = grid_lookup(graph_labels, labels, cfg)
-    return segm, segm_soft
+    return segm, segm_soft, labels, proba, graph_labels
+
+
+def _fetch_reconstruct(labels, proba, graph_labels, cfg):
+    """Host-side reconstruction of (segm, segm_soft) from the compact
+    factors: fetch (H, W) labels (uint16 when K allows) plus the (K,)/(K, C)
+    tables and gather on host.  Value-identical to fetching the device
+    ``grid_lookup`` outputs, at ~5x less tunnel traffic — host<->device
+    transfer dominates single-image latency (BASELINE config 1)."""
+    small = labels.astype(jnp.uint16) if cfg.n_segments <= 0xffff else labels
+    for arr in (small, proba, graph_labels):
+        arr.copy_to_host_async()
+    labels_np = np.asarray(small).astype(np.int64)
+    segm_np = np.asarray(graph_labels)[labels_np]
+    soft_np = np.asarray(proba)[labels_np]
+    return segm_np, soft_np
 
 
 # ------------------------------------------------------------- public API ---
@@ -226,17 +245,19 @@ def pipe_color2d_slic_features_model_graphcut(
     image = jnp.asarray(image)
     cfg = slic_ops.slic_config(image.shape[0], image.shape[1], sp_size)
     m = slic_ops.compactness_from_regul(sp_size, sp_regul)
-    segm, segm_soft, labels, features, proba, _model = _pipe_unsup_core(
-        image, cfg=cfg, feats_spec=_features_spec(dict_features),
-        nb_classes=nb_classes, estim_model=estim_model, pca_coef=pca_coef,
-        use_scaler=use_scaler, gc_regul=float(gc_regul),
-        gc_edge_type=gc_edge_type, compactness=m, seed=seed)
+    segm, segm_soft, labels, features, proba, _model, graph_labels = \
+        _pipe_unsup_core(
+            image, cfg=cfg, feats_spec=_features_spec(dict_features),
+            nb_classes=nb_classes, estim_model=estim_model, pca_coef=pca_coef,
+            use_scaler=use_scaler, gc_regul=float(gc_regul),
+            gc_edge_type=gc_edge_type, compactness=m, seed=seed)
     if debug_visual is not None:
         debug_visual['slic'] = np.asarray(labels)
         debug_visual['features'] = np.asarray(features)
         debug_visual['proba'] = np.asarray(proba)
         debug_visual['model'] = _model
-    return np.asarray(segm), np.asarray(segm_soft)
+        return np.asarray(segm), np.asarray(segm_soft)
+    return _fetch_reconstruct(labels, proba, graph_labels, cfg)
 
 
 def estim_model_classes_group(list_images, nb_classes, dict_features,
@@ -321,12 +342,13 @@ def segment_color2d_slic_features_model_graphcut(
     cfg = slic_ops.slic_config(image.shape[0], image.shape[1], sp_size)
     m = slic_ops.compactness_from_regul(sp_size, sp_regul)
     if isinstance(model_pipeline, ClassModel):
-        segm, segm_soft = _segment_with_model_core(
-            image, model_pipeline, cfg=cfg,
-            feats_spec=_features_spec(dict_features),
-            gc_regul=float(gc_regul), gc_edge_type=gc_edge_type,
-            compactness=m)
-        return np.asarray(segm), np.asarray(segm_soft)
+        segm, segm_soft, labels, proba, graph_labels = \
+            _segment_with_model_core(
+                image, model_pipeline, cfg=cfg,
+                feats_spec=_features_spec(dict_features),
+                gc_regul=float(gc_regul), gc_edge_type=gc_edge_type,
+                compactness=m)
+        return _fetch_reconstruct(labels, proba, graph_labels, cfg)
 
     labels, features, _counts, centers = _slic_features_core(
         image, cfg, _features_spec(dict_features), m)
