@@ -45,8 +45,10 @@ def _emit(name, value, unit, extra=None):
 def bench_unsup_single():
     """Config 1: one 1024x647 ovary slice, per-image GMM, model edges."""
     import jax
+    import jax.numpy as jnp
 
     from pyimsegm_tpu import pipelines
+    from pyimsegm_tpu.ops import slic as slic_ops
 
     img = _imread(os.path.join(DATA, 'drosophila_ovary_slice', 'image',
                                'insitu7545.jpg'))
@@ -67,6 +69,31 @@ def bench_unsup_single():
     _emit('cfg1_unsup_single_image', mpix / dt, 'MPix/s',
           {'wall_ms': round(dt * 1e3, 2), 'note': 'incl. per-image GMM fit'})
     del out
+
+    # Device-side latency of the SAME program (image resident, outputs
+    # blocked on-device): isolates compute from the dev-rig tunnel, whose
+    # ~30 MB/s / ~25 ms RTT floor dominates wall_ms above (QUALITY.md
+    # "single-image latency" section).  On a production TPU host the
+    # PCIe transfers are <1 ms, so this is the deployable per-image figure.
+    imgj = jnp.asarray(img)
+    cfg = slic_ops.slic_config(img.shape[0], img.shape[1], SP_SIZE)
+    m = slic_ops.compactness_from_regul(SP_SIZE, SP_REGUL)
+    spec = pipelines._features_spec(FEATS_COLOR)
+
+    def run_dev():
+        out = pipelines._pipe_unsup_core(
+            imgj, cfg=cfg, feats_spec=spec, nb_classes=NB_CLASSES,
+            estim_model='GMM', pca_coef=None, use_scaler=True,
+            gc_regul=float(GC_REGUL), gc_edge_type='model', compactness=m)
+        jax.block_until_ready(out[:2])
+
+    run_dev()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        run_dev()
+    dt = (time.perf_counter() - t0) / reps
+    _emit('cfg1_unsup_core_device', dt * 1e3, 'ms/image',
+          {'note': 'jitted core, on-device in/out (excl. host link)'})
 
 
 def bench_supervised():

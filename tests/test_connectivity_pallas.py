@@ -91,6 +91,7 @@ def test_reach_absorb_matches_xla(shape, sp):
     assert agree > 0.999, f'only {agree:.4f} agreement'
 
 
+@pytest.mark.slow
 def test_connected_output():
     """Every superpixel in the kernel output is 4-connected."""
     from scipy import ndimage

@@ -121,6 +121,7 @@ def test_multi_band_seam_drift_bounded():
     assert agree > 0.999, f'only {agree:.4f} agreement'
 
 
+@pytest.mark.slow
 def test_output_connected_and_window_valid():
     """The kernel's own contract: single-component superpixels that keep the
     3x3 seed-window grid invariant (reference semantics: skimage
@@ -236,6 +237,7 @@ def _run_rafused_interpret(labels, cfg):
     return got
 
 
+@pytest.mark.slow
 def test_rafused_single_band_matches_xla_exactly():
     """XLA seed + single-launch reach+absorb == full XLA path when the
     image is one band (band-local reach is then global)."""
