@@ -184,8 +184,8 @@ def slic_segment(image, cfg: SlicConfig, compactness,
                  n_iter=DEFAULT_SLIC_ITERS, slico=False):
     """Run SLIC; returns int32 labels of shape (height, width) in [0, K).
 
-    Dispatches to the fused Pallas kernel on TPU (non-SLICO); the pure-XLA
-    formulation below is the portable reference path.
+    Dispatches to the fused Pallas kernels on TPU (SLICO included); the
+    pure-XLA formulation below is the portable reference path.
 
     :param image: (H, W, 3) or (H, W) float array (any scale)
     :param cfg: static geometry from :func:`slic_config`
@@ -193,8 +193,9 @@ def slic_segment(image, cfg: SlicConfig, compactness,
     :param n_iter: assign/update iterations (static)
     :param slico: adaptive per-cluster compactness (SLIC-zero)
     """
-    if not slico and _pallas_available():
-        return _slic_segment_pallas(image, cfg, compactness, n_iter=n_iter)
+    if _pallas_available():
+        return _slic_segment_pallas(image, cfg, compactness, n_iter=n_iter,
+                                    slico=slico)
     return _slic_segment_xla(image, cfg, compactness, n_iter=n_iter, slico=slico)
 
 
@@ -244,9 +245,9 @@ def _prepare_chw(image, cfg: SlicConfig):
     return lab_chw_p, _seed_centers(lab_chw, cfg)
 
 
-@functools.partial(jax.jit, static_argnames=('cfg', 'n_iter'))
+@functools.partial(jax.jit, static_argnames=('cfg', 'n_iter', 'slico'))
 def _slic_segment_pallas(image, cfg: SlicConfig, compactness,
-                         n_iter=DEFAULT_SLIC_ITERS):
+                         n_iter=DEFAULT_SLIC_ITERS, slico=False):
     from pyimsegm_tpu.ops.slic_pallas import (
         slic_assign_pallas, slic_multi_update_pallas)
     # bf16 pixel buffer: halves the dominant per-iteration HBM read (~6%
@@ -255,15 +256,24 @@ def _slic_segment_pallas(image, cfg: SlicConfig, compactness,
     # backends assign from the same pixel values (cross-backend ARS
     # acceptance, tools/check_parity.py).
     lab_chw, centers0 = _prepare_chw(image, cfg)
-    sw2 = (jnp.asarray(compactness, jnp.float32) / cfg.step) ** 2
+    if slico:
+        # SLICO distance dc2/M_c + ds2/step^2: fixed spatial scale, the
+        # per-cluster color normaliser M seeds at m^2 (matches
+        # `_slic_segment_xla`'s `init_m`/`spatial_w`)
+        sw2 = 1.0 / jnp.float32(cfg.step) ** 2
+        init_m2 = jnp.asarray(compactness, jnp.float32) ** 2
+    else:
+        sw2 = (jnp.asarray(compactness, jnp.float32) / cfg.step) ** 2
+        init_m2 = None
 
     # n_iter-1 update passes (one fused multi-iteration kernel) + one final
     # assignment = skimage's n_iter assign-then-update iterations (final
     # labels are the assignment that fed the last center update, not one
     # extra assignment after it)
     centers = slic_multi_update_pallas(lab_chw, centers0, sw2, cfg,
-                                       n_upd=max(n_iter - 1, 0))
-    labels = slic_assign_pallas(lab_chw, centers, sw2, cfg)
+                                       n_upd=max(n_iter - 1, 0),
+                                       slico=slico, init_m2=init_m2)
+    labels = slic_assign_pallas(lab_chw, centers, sw2, cfg, slico=slico)
     return labels[:cfg.height, :cfg.width]
 
 

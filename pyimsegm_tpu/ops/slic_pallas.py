@@ -32,7 +32,17 @@ only written by the final pass (update passes emit just the tiny per-tile
 partials) — ~6 B/px per update pass.
 
 The tiny cross-tile combine (shift partials by their offset, divide by
-counts) stays in XLA.  SLICO (adaptive compactness) still uses the XLA path.
+counts) stays in XLA.
+
+SLICO (adaptive per-cluster compactness, skimage ``slic_zero``;
+`/root/reference/imsegm/superpixels.py:61`) runs through the same kernels
+with ``slico=True``: the distance ``dc2 / M_c + ds2 / step**2`` (per-cluster
+color normaliser ``M_c``) stays in dot form by carrying ``1/(2 M_c)`` as an
+extra candidate row — the pixel's ``|lab|^2`` term no longer cancels across
+candidates, so the score subtracts ``|lab|^2 * f6``.  The per-cluster
+``max dc2`` update is an in-kernel segmented max: per-offset masked column
+maxima, a lane-butterfly max within each tile column, then the same
+selector-matmul pooling as the sums (one nonzero per column).
 """
 
 import functools
@@ -52,13 +62,16 @@ _OFFSETS = [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)]
 
 def _slic_pass_kernel(lab_ref, c6_ref, scale_ref, *refs,
                       cfg: SlicConfig, want_labels, want_partials=None,
-                      want_features=False):
+                      want_features=False, slico=False):
     """One SLIC pass for one tile row.
 
     lab_ref:      (3, 1, step, wp)  Lab pixels of this tile row
     c6_ref:       (gh+2, 6, gw)    all centers as score 6-vectors
                                    [l, a, b, s*y, s*x, |c|^2/2], 1 sentinel
-                                   row of padding on each side
+                                   row of padding on each side;
+                                   (gh+2, 8, gw) when ``slico`` — rows
+                                   [l/M, a/M, b/M, s*y, s*x, half, 1/(2M),
+                                   |c_lab|^2/(2M)] (see module docstring)
     scale_ref:    (1, 1)           s = m/step spatial scale in SMEM
     refs:         optional feature-image input (3, 1, step, wp) f32 when
                   ``want_features``, then the outputs:
@@ -108,24 +121,26 @@ def _slic_pass_kernel(lab_ref, c6_ref, scale_ref, *refs,
     l_of_col = jax.lax.broadcasted_iota(jnp.int32, (gw, wp), 1) // step
     sel_field = (g_of_row == l_of_col).astype(jnp.float32)     # (gw, wp)
 
-    crows = c6_ref[pl.ds(i, 3)]                          # (3, 6, gw)
+    nrows = 8 if slico else 6
+    crows = c6_ref[pl.ds(i, 3)]                          # (3, nrows, gw)
 
     # stack all 9 candidate rows (column-shifted per dj; sentinel columns
     # only carry the huge half-|c|^2 term so their score is -_SENT)
-    sent_col = jnp.concatenate(
-        [jnp.zeros((5, 1), jnp.float32),
-         jnp.full((1, 1), _SENT, jnp.float32)], axis=0)  # (6, 1)
-    pad2 = jnp.zeros((2, gw), jnp.float32)
+    sent_col = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (nrows, 1), 0) == 5,
+        _SENT, 0.0)                                      # (nrows, 1)
+    pad2 = jnp.zeros((8 - nrows, gw), jnp.float32)
     rows = []
     for di, dj in _OFFSETS:
-        row = crows[di + 1]                              # (6, gw)
+        row = crows[di + 1]                              # (nrows, gw)
         if dj == -1:
             row = jnp.concatenate([sent_col, row[:, :-1]], axis=1)
         elif dj == 1:
             row = jnp.concatenate([row[:, 1:], sent_col], axis=1)
         # pad every offset block to 8 sublanes so the per-offset slices of
         # the matmul result stay on sublane-tile boundaries
-        rows.append(jnp.concatenate([row, pad2], axis=0))
+        rows.append(jnp.concatenate([row, pad2], axis=0) if nrows < 8
+                    else row)
     stacked = jnp.concatenate(rows, axis=0)              # (72, gw)
     fields = jax.lax.dot(stacked, sel_field,
                          precision=jax.lax.Precision.HIGHEST,
@@ -135,11 +150,16 @@ def _slic_pass_kernel(lab_ref, c6_ref, scale_ref, *refs,
     best_o = jnp.zeros((step, wp), jnp.int32)
     if want_labels:
         best_l = jnp.zeros((step, wp), jnp.int32)
+    if slico:
+        plab2 = l0 * l0 + l1 * l1 + l2 * l2
 
     for oi, (di, dj) in enumerate(_OFFSETS):
         f = fields[8 * oi:8 * oi + 8]                    # (8, wp)
         score = (l0 * f[0:1, :] + l1 * f[1:2, :] + l2 * f[2:3, :]
                  + sy * f[3:4, :] + sx * f[4:5, :] - f[5:6, :])
+        if slico:
+            # the pixel |lab|^2 / (2 M_c) term varies per candidate
+            score = score - plab2 * f[6:7, :]
         take = score > best_s
         best_s = jnp.where(take, score, best_s)
         if want_labels:
@@ -192,7 +212,8 @@ def _slic_pass_kernel(lab_ref, c6_ref, scale_ref, *refs,
 
 
 def _multi_update_kernel(lab_ref, c0_ref, scale_ref, out_ref,
-                         c6_scr, nsums_scr, *, cfg: SlicConfig):
+                         c6_scr, nsums_scr, *, cfg: SlicConfig,
+                         slico=False):
     """All ``n_upd`` SLIC update iterations in ONE kernel.
 
     Grid is (n_upd, gh) — iterations outer, tile rows inner; TPU grid
@@ -206,11 +227,15 @@ def _multi_update_kernel(lab_ref, c0_ref, scale_ref, out_ref,
 
     lab_ref:   (3, 1, step, wp) bf16 Lab pixels of this tile row
     c0_ref:    (gh, 8, gw) f32 initial centers, rows [l, a, b, y, x, 0...]
-    scale_ref: (1, 1) SMEM f32 — s = m/step
+               (row 5 = initial M = m^2 when ``slico``)
+    scale_ref: (1, 1) SMEM f32 — s = m/step (1/step when ``slico``)
     out_ref:   (gh, 8, gw) f32 centers (constant index map: lives in VMEM
-               for the whole call, doubles as the running center store)
-    c6_scr:    (gh+2, 8, gw) score 6-vectors + sentinel rows
-    nsums_scr: (gh+2, 8, gw) per-center update sums accumulator
+               for the whole call, doubles as the running center store;
+               row 5 carries the per-cluster SLICO color normaliser M)
+    c6_scr:    (gh+2, 8, gw) score 6-vectors + sentinel rows (8-vectors
+               with [.., 1/(2M), |c_lab|^2/(2M)] when ``slico``)
+    nsums_scr: (gh+2, 8, gw) per-center update sums accumulator (row 6
+               max-accumulates the per-cluster max dc2 when ``slico``)
     """
     step, gw, gh = cfg.step, cfg.grid_w, cfg.grid_h
     wp = cfg.pad_w
@@ -223,6 +248,16 @@ def _multi_update_kernel(lab_ref, c0_ref, scale_ref, out_ref,
         c = out_ref[...]                                  # (gh, 8, gw)
         cl, ca, cb = c[:, 0], c[:, 1], c[:, 2]
         sy, sx = c[:, 3] * s, c[:, 4] * s
+        if slico:
+            inv = 1.0 / jnp.maximum(c[:, 5], 1e-6)        # 1 / M_c
+            half_col = 0.5 * (cl * cl + ca * ca + cb * cb) * inv
+            half = half_col + 0.5 * (sy * sy + sx * sx)
+            c6_scr[1:gh + 1] = jnp.concatenate(
+                [(cl * inv)[:, None], (ca * inv)[:, None],
+                 (cb * inv)[:, None], sy[:, None], sx[:, None],
+                 half[:, None], (0.5 * inv)[:, None], half_col[:, None]],
+                axis=1)
+            return
         half = 0.5 * (cl * cl + ca * ca + cb * cb + sy * sy + sx * sx)
         zero = jnp.zeros((gh, 1, gw), jnp.float32)
         c6_scr[1:gh + 1] = jnp.concatenate(
@@ -233,7 +268,16 @@ def _multi_update_kernel(lab_ref, c0_ref, scale_ref, out_ref,
         sums = nsums_scr[1:gh + 1]                        # (gh, 8, gw)
         cnt = sums[:, 5:6]
         new = sums / jnp.maximum(cnt, 1.0)
-        out_ref[...] = jnp.where(cnt > 0, new, out_ref[...])
+        upd = jnp.where(cnt > 0, new, out_ref[...])
+        if slico:
+            # M <- max(max-assigned-dc2, 1.0) — unconditional, like the XLA
+            # twin (empty clusters get M = 1); rows 6-7 kept zero
+            rsel = jax.lax.broadcasted_iota(jnp.int32, (gh, 8, gw), 1)
+            mnew = jnp.broadcast_to(jnp.maximum(sums[:, 6:7], 1.0),
+                                    (gh, 8, gw))
+            upd = jnp.where(rsel == 5, mnew,
+                            jnp.where(rsel > 5, 0.0, upd))
+        out_ref[...] = upd
 
     @pl.when(i == 0)
     def _():
@@ -289,13 +333,24 @@ def _multi_update_kernel(lab_ref, c0_ref, scale_ref, out_ref,
 
     best_s = jnp.full((step, wp), -jnp.inf, jnp.float32)
     best_o = jnp.zeros((step, wp), jnp.int32)
+    if slico:
+        plab2 = l0 * l0 + l1 * l1 + l2 * l2
+        best_dc2 = jnp.zeros((step, wp), jnp.float32)
     for oi in range(9):
         f = fields[8 * oi:8 * oi + 8]
-        score = (l0 * f[0:1, :] + l1 * f[1:2, :] + l2 * f[2:3, :]
-                 + sy * f[3:4, :] + sx * f[4:5, :] - f[5:6, :])
+        cdot = l0 * f[0:1, :] + l1 * f[1:2, :] + l2 * f[2:3, :]
+        score = cdot + sy * f[3:4, :] + sx * f[4:5, :] - f[5:6, :]
+        if slico:
+            score = score - plab2 * f[6:7, :]
         take = score > best_s
         best_s = jnp.where(take, score, best_s)
         best_o = jnp.where(take, oi, best_o)
+        if slico:
+            # recover the winner's color distance for the M_c update:
+            # dc2/M = 2*(f6*|p|^2 - p.(c/M) + |c|^2/(2M)); M = 1/(2*f6)
+            # (sentinel f6 = 0 divides to inf/nan but is never taken)
+            dc2 = (f[6:7, :] * plab2 - cdot + f[7:8, :]) / f[6:7, :]
+            best_dc2 = jnp.where(take, dc2, best_dc2)
 
     # ---- per-offset partial sums, grouped by dj so the pooling matmul
     # also applies the column shift (sel maps lane-tile -> tile + dj) ----
@@ -324,10 +379,57 @@ def _multi_update_kernel(lab_ref, c0_ref, scale_ref, out_ref,
         for k in range(3):
             accs[k] = accs[k] + pooled[8 * k:8 * k + 8]
 
+    if slico:
+        # ---- per-cluster max dc2 (segmented max; no scatter, no matmul
+        # trick works for max so: sublane max -> lane butterfly within each
+        # tile column -> selector matmul over the single surviving lane) ----
+        mrows = []
+        for oi in range(9):
+            w = jnp.where((best_o == oi) & (valid > 0), best_dc2, 0.0)
+            mrows.append(jnp.max(w, axis=0, keepdims=True))
+        md = jnp.concatenate(
+            mrows + [jnp.zeros((7, wp), jnp.float32)], axis=0)  # (16, wp)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (16, wp), 1)
+        off = 1
+        while off < step:
+            same = (lane // step) == ((lane + off) // step)
+            md = jnp.where(same,
+                           jnp.maximum(md, jnp.roll(md, -off, axis=1)), md)
+            off *= 2
+        md = jnp.where(lane % step == 0, md, 0.0)
+        sel0 = (l_of_row == g_of_col).astype(jnp.float32)
+        mpool = jax.lax.dot(md, sel0,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)  # (16, gw)
+
+        def shift_g(row, dj):
+            # target column = tile + dj: shifted[:, c] = row[:, c - dj]
+            z = jnp.zeros((1, 1), jnp.float32)
+            if dj == 1:
+                return jnp.concatenate([z, row[:, :-1]], axis=1)
+            if dj == -1:
+                return jnp.concatenate([row[:, 1:], z], axis=1)
+            return row
+
+        maxblks = []
+        for di in (-1, 0, 1):
+            mrow = jnp.zeros((1, gw), jnp.float32)
+            for dj in (-1, 0, 1):
+                oi = (di + 1) * 3 + (dj + 1)
+                mrow = jnp.maximum(mrow, shift_g(mpool[oi:oi + 1], dj))
+            maxblks.append(jnp.concatenate(
+                [jnp.zeros((6, gw), jnp.float32), mrow,
+                 jnp.zeros((1, gw), jnp.float32)], axis=0))       # (8, gw)
+
     for k, di in enumerate((-1, 0, 1)):
         row = i + di + 1
         cur = nsums_scr[pl.ds(row, 1)]
-        nsums_scr[pl.ds(row, 1)] = cur + accs[k][None]
+        upd = cur + accs[k][None]
+        if slico:
+            rsel = jax.lax.broadcasted_iota(jnp.int32, (1, 8, gw), 1)
+            upd = jnp.where(rsel == 6,
+                            jnp.maximum(cur, maxblks[k][None]), upd)
+        nsums_scr[pl.ds(row, 1)] = upd
 
     # last program finalizes the last iteration's centers
     @pl.when((t == n_upd - 1) & (i == gh - 1))
@@ -335,27 +437,41 @@ def _multi_update_kernel(lab_ref, c0_ref, scale_ref, out_ref,
         finalize()
 
 
-@functools.partial(jax.jit, static_argnames=('cfg', 'n_upd'))
+@functools.partial(jax.jit, static_argnames=('cfg', 'n_upd', 'slico'))
 def slic_multi_update_pallas(lab_chw, centers, spatial_w2, cfg: SlicConfig,
-                             n_upd):
+                             n_upd, slico=False, init_m2=None):
     """Run ``n_upd`` fused assign+update iterations; returns new centers.
 
     :param lab_chw: (3, pad_h, pad_w) Lab pixels (bf16 ok)
     :param centers: (gh, gw, 5) float32 [l, a, b, y, x]
     :param spatial_w2: scalar (m/step)^2 spatial weight factor
-    :returns: (gh, gw, 5) float32 updated centers
+        (1/step^2 when ``slico``)
+    :param slico: adaptive per-cluster compactness (skimage ``slic_zero``);
+        ``init_m2`` (scalar m^2) seeds the per-cluster color normaliser
+    :returns: (gh, gw, 5) float32 updated centers — (gh, gw, 6) with the
+        final per-cluster M in column 5 when ``slico``
     """
-    if n_upd <= 0:
-        return centers
     gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
+    if slico:
+        m2col = jnp.broadcast_to(
+            jnp.asarray(init_m2, jnp.float32).reshape(1, 1, 1), (gh, 1, gw))
+    if n_upd <= 0:
+        if not slico:
+            return centers
+        return jnp.concatenate(
+            [centers, jnp.transpose(m2col, (0, 2, 1))], axis=-1)
     s = jnp.sqrt(jnp.asarray(spatial_w2, jnp.float32))
+    pad = jnp.zeros((gh, 2, gw), jnp.float32)
+    if slico:
+        mid = [m2col, pad]
+    else:
+        mid = [jnp.zeros((gh, 3, gw), jnp.float32)]
     c0 = jnp.concatenate(
-        [jnp.transpose(centers, (0, 2, 1)),
-         jnp.zeros((gh, 3, gw), jnp.float32)], axis=1)    # (gh, 8, gw)
+        [jnp.transpose(centers, (0, 2, 1))] + mid, axis=1)  # (gh, 8, gw)
     scale = s.reshape(1, 1)
 
     out = pl.pallas_call(
-        functools.partial(_multi_update_kernel, cfg=cfg),
+        functools.partial(_multi_update_kernel, cfg=cfg, slico=slico),
         grid=(n_upd, gh),
         in_specs=[
             pl.BlockSpec((3, 1, step, cfg.pad_w), lambda t, i: (0, i, 0, 0),
@@ -373,7 +489,7 @@ def slic_multi_update_pallas(lab_chw, centers, spatial_w2, cfg: SlicConfig,
             pltpu.VMEM((gh + 2, 8, gw), jnp.float32),
         ],
     )(lab_chw.reshape(3, gh, step, cfg.pad_w), c0, scale)
-    return jnp.transpose(out, (0, 2, 1))[..., :5]
+    return jnp.transpose(out, (0, 2, 1))[..., :6 if slico else 5]
 
 
 def _centers_to_score6(centers, s, gw):
@@ -389,14 +505,33 @@ def _centers_to_score6(centers, s, gw):
     return jnp.concatenate([sent, c6, sent], axis=0)
 
 
+def _centers_to_score8_slico(centers, s, gw):
+    """(gh, gw, 6) centers+M -> sentinel-padded (gh+2, 8, gw) SLICO score
+    8-vectors [l/M, a/M, b/M, s*y, s*x, half, 1/(2M), |c_lab|^2/(2M)]
+    (same formulation as the in-kernel ``refresh_c6``)."""
+    cl, ca, cb = centers[..., 0], centers[..., 1], centers[..., 2]
+    sy = centers[..., 3] * s
+    sx = centers[..., 4] * s
+    inv = 1.0 / jnp.maximum(centers[..., 5], 1e-6)
+    half_col = 0.5 * (cl * cl + ca * ca + cb * cb) * inv
+    half = half_col + 0.5 * (sy * sy + sx * sx)
+    c8 = jnp.stack([cl * inv, ca * inv, cb * inv, sy, sx, half,
+                    0.5 * inv, half_col], axis=1)        # (gh, 8, gw)
+    sent = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, 8, gw), 1) == 5, _SENT, 0.0)
+    return jnp.concatenate([sent, c8, sent], axis=0)
+
+
 def _pallas_pass(lab_chw, centers, spatial_w2, cfg: SlicConfig,
-                 want_labels, want_partials=None, feat_chw=None):
+                 want_labels, want_partials=None, feat_chw=None,
+                 slico=False):
     gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
     if want_partials is None:
         want_partials = not want_labels
     want_features = feat_chw is not None
     s = jnp.sqrt(jnp.asarray(spatial_w2, jnp.float32))
-    centers_pad = _centers_to_score6(centers, s, gw)
+    centers_pad = (_centers_to_score8_slico(centers, s, gw) if slico
+                   else _centers_to_score6(centers, s, gw))
     scale = s.reshape(1, 1)
 
     n_rows = 108 if want_features else 54
@@ -420,7 +555,7 @@ def _pallas_pass(lab_chw, centers, spatial_w2, cfg: SlicConfig,
         # the non-multiple tile size `step`
         pl.BlockSpec((3, 1, step, cfg.pad_w), lambda i: (0, i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((gh + 2, 6, gw), lambda i: (0, 0, 0),
+        pl.BlockSpec((gh + 2, 8 if slico else 6, gw), lambda i: (0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
     ]
@@ -435,7 +570,8 @@ def _pallas_pass(lab_chw, centers, spatial_w2, cfg: SlicConfig,
         functools.partial(_slic_pass_kernel, cfg=cfg,
                           want_labels=want_labels,
                           want_partials=want_partials,
-                          want_features=want_features),
+                          want_features=want_features,
+                          slico=slico),
         grid=(gh,),
         in_specs=in_specs,
         out_specs=out_spec,
@@ -475,11 +611,16 @@ def slic_update_pallas(lab_chw, centers, spatial_w2, cfg: SlicConfig):
                          (0, 3, 1, 2))
 
 
-@functools.partial(jax.jit, static_argnames=('cfg',))
-def slic_assign_pallas(lab_chw, centers, spatial_w2, cfg: SlicConfig):
-    """Final assignment pass: (pad_h, pad_w) int32 labels."""
+@functools.partial(jax.jit, static_argnames=('cfg', 'slico'))
+def slic_assign_pallas(lab_chw, centers, spatial_w2, cfg: SlicConfig,
+                       slico=False):
+    """Final assignment pass: (pad_h, pad_w) int32 labels.
+
+    With ``slico`` the centers must carry the per-cluster color
+    normaliser M in column 5 ((gh, gw, 6), from
+    :func:`slic_multi_update_pallas` ``slico=True``)."""
     labels = _pallas_pass(lab_chw, centers, spatial_w2, cfg,
-                          want_labels=True)
+                          want_labels=True, slico=slico)
     return labels.reshape(cfg.pad_h, cfg.pad_w)
 
 
