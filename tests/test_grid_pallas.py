@@ -164,3 +164,22 @@ def test_slic_with_geometry_consistent():
     occupied = np.asarray(counts) > 0
     assert np.allclose(np.asarray(centers)[occupied],
                        np.asarray(centers2)[occupied], atol=1e-3)
+
+
+def test_slic_slico_pallas_matches_xla_on_tpu():
+    """SLICO through the fused kernels on the real chip vs the portable XLA
+    path (the interpret-mode twin lives in test_slic_multi_pallas.py); also
+    compile-checks the 8-row candidate layout + in-kernel segmented max
+    under Mosaic."""
+    import jax.numpy as jnp
+    from pyimsegm_tpu.ops import slic as slic_ops
+    from pyimsegm_tpu.ops.slic import _slic_segment_pallas, _slic_segment_xla
+    from pyimsegm_tpu.utils import data_samples
+
+    img = np.asarray(data_samples.load_sample_image(), np.float32)[:300, :400]
+    cfg = slic_ops.slic_config(img.shape[0], img.shape[1], 25)
+    m = slic_ops.compactness_from_regul(25, 0.2)
+    la = np.asarray(_slic_segment_pallas(jnp.asarray(img), cfg, m,
+                                         slico=True))
+    lb = np.asarray(_slic_segment_xla(jnp.asarray(img), cfg, m, slico=True))
+    assert (la == lb).mean() > 0.99
