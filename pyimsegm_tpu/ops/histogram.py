@@ -36,10 +36,13 @@ def label_hist_maps(segm, nb_labels, diameters=HIST_CIRCLE_DIAGONALS):
     else:
         planes = [segm[..., lb].astype(jnp.float32) for lb in range(nb_labels)]
     ones = jnp.ones(planes[0].shape, jnp.float32)
+    stack = jnp.stack(planes + [ones])                   # (L+1, H, W)
     counts, sizes = [], []
     for d in diameters:
-        counts.append(jnp.stack([disk_count_map(p, d) for p in planes]))
-        sizes.append(disk_count_map(ones, d))
+        from pyimsegm_tpu.ops.morphology import disk_count_maps
+        m = disk_count_maps(stack, d)                    # one scan, all planes
+        counts.append(m[:nb_labels])
+        sizes.append(m[nb_labels])
     return jnp.stack(counts), jnp.stack(sizes)
 
 

@@ -62,35 +62,50 @@ def binary_closing(mask, radius):
     return binary_erosion(binary_dilation(mask, radius), radius)
 
 
-def disk_count_map(plane, radius):
-    """For every pixel: sum of ``plane`` within a disk of ``radius`` —
+def disk_count_maps(planes, radius):
+    """For every pixel of every plane: sum within a disk of ``radius`` —
     an O(radius * H * W) cumsum decomposition of the disk convolution
-    (disk = union of horizontal runs), no big 2D kernel.  The row loop is a
-    ``lax.scan`` so the compiled program stays small for any radius.
+    (disk = union of horizontal chords).  TPU-shaped: every scan step is
+    two *contiguous* dynamic slices of the padded row cumsum (the clipped
+    window bounds are realised by zero / row-total padding) plus two row
+    shifts — no per-element gathers anywhere — and the +dy / -dy chords
+    share one slice pair (equal widths), so the scan runs ``radius + 1``
+    steps, not ``2 * radius + 1``.
 
-    :param plane: (H, W) float
-    :returns: (H, W) float counts
+    :param planes: (..., H, W) float — any leading batch axes
+    :returns: (..., H, W) float counts
     """
-    h, w = plane.shape
-    cs = jnp.cumsum(plane, axis=1)
-    cs = jnp.concatenate([jnp.zeros((h, 1), plane.dtype), cs], axis=1)
-    rows = _row_widths(radius)
-    dys = jnp.asarray([dy for dy, _ in rows], jnp.int32)
-    widths = jnp.asarray([wd for _, wd in rows], jnp.int32)
-    xs = jnp.arange(w)
-    ys = jnp.arange(h)
+    h, w = planes.shape[-2:]
+    r = int(radius)
+    cs = jnp.cumsum(planes, axis=-1)                      # (..., H, W)
+    total = cs[..., -1:]
+    # padded prefix sums: index r+j holds "sum of first j" for j in [0, W],
+    # zeros below (window clipped at the left edge), row totals above
+    # (clipped at the right edge)
+    cs_pad = jnp.concatenate(
+        [jnp.zeros(planes.shape[:-1] + (r + 1,), planes.dtype), cs,
+         jnp.broadcast_to(total, planes.shape[:-1] + (r,))], axis=-1)
+
+    half = [(dy, wd) for dy, wd in _row_widths(radius) if dy >= 0]
+    dys = jnp.asarray([dy for dy, _ in half], jnp.int32)
+    widths = jnp.asarray([wd for _, wd in half], jnp.int32)
+    zrows = jnp.zeros(planes.shape[:-2] + (r, w), planes.dtype)
 
     def step(acc, dy_width):
         dy, width = dy_width
-        hi = jnp.clip(xs + width + 1, 0, w)
-        lo = jnp.clip(xs - width, 0, w)
-        # rows gathered at y+dy; out-of-range rows contribute zero
-        idx = ys + dy
-        ok = (idx >= 0) & (idx < h)
-        rs = cs[jnp.clip(idx, 0, h - 1)]
-        row = (rs[:, hi] - rs[:, lo]) * ok[:, None].astype(plane.dtype)
-        return acc + row, None
+        hi = jax.lax.dynamic_slice_in_dim(cs_pad, r + 1 + width, w, axis=-1)
+        lo = jax.lax.dynamic_slice_in_dim(cs_pad, r - width, w, axis=-1)
+        chord = hi - lo                                   # (..., H, W)
+        cp = jnp.concatenate([zrows, chord, zrows], axis=-2)
+        up = jax.lax.dynamic_slice_in_dim(cp, r + dy, h, axis=-2)
+        down = jax.lax.dynamic_slice_in_dim(cp, r - dy, h, axis=-2)
+        return acc + jnp.where(dy > 0, up + down, up), None
 
-    out, _ = jax.lax.scan(step, jnp.zeros((h, w), plane.dtype),
+    out, _ = jax.lax.scan(step, jnp.zeros(planes.shape, planes.dtype),
                           (dys, widths))
     return out
+
+
+def disk_count_map(plane, radius):
+    """Single-plane :func:`disk_count_maps`."""
+    return disk_count_maps(plane, radius)

@@ -28,10 +28,23 @@ def _ray_directions(angle_step):
     return angles, jnp.asarray(grad, jnp.float32)
 
 
+#: ray-march chunk length: most rays resolve (hit or leave the image)
+#: within a few hundred pixels, so the march runs chunk-by-chunk and stops
+#: as soon as every ray is resolved instead of sampling the full diagonal
+_RAY_CHUNK = 128
+
+
 @functools.partial(jax.jit, static_argnames=('angle_step', 'edge'))
 def ray_features_positions_core(seg_binary, positions, angle_step=5.0,
                                 edge='up'):
     """Ray distances for many positions at once.
+
+    The march evaluates ``_RAY_CHUNK`` ladder steps per ``while_loop``
+    iteration for every (position, angle) ray and exits once every ray has
+    either hit the mask or left the image — the same first-hit semantics as
+    the reference's per-ray early-exit loop (`descriptors.py:1692-1712`),
+    vectorised without paying the full image diagonal when (as in the
+    center-detection chain) hits land within a few superpixels.
 
     :param seg_binary: (H, W) bool/float boundary mask
     :param positions: (P, 2) float (row, col)
@@ -48,37 +61,56 @@ def ray_features_positions_core(seg_binary, positions, angle_step=5.0,
     pos = jnp.asarray(positions, jnp.float32)        # (P, 2)
     p = pos.shape[0]
 
-    t = jnp.arange(1, n_steps + 1, dtype=jnp.float32)          # (T,)
-    # sample coordinates: (P, A, T, 2)
-    coords = pos[:, None, None, :] + grad[None, :, None, :] * t[None, None, :, None]
-    ry = jnp.round(coords[..., 0])
-    rx = jnp.round(coords[..., 1])
-    inb = (coords[..., 0] >= 0) & (ry < h) & (coords[..., 1] >= 0) & (rx < w)
-    iy = jnp.clip(ry.astype(jnp.int32), 0, h - 1)
-    ix = jnp.clip(rx.astype(jnp.int32), 0, w - 1)
-    samples = seg[iy, ix]                                       # (P, A, T)
-
-    # alive[t]: the march has not left the image at step t (monotone mask)
-    alive = jnp.cumprod(inb.astype(jnp.int32), axis=-1).astype(bool)
-
     origin = seg[jnp.clip(pos[:, 0].astype(jnp.int32), 0, h - 1),
                  jnp.clip(pos[:, 1].astype(jnp.int32), 0, w - 1)]  # (P,)
-    if edge == 'up':
-        hit = samples & alive
-    else:
-        prev = jnp.concatenate(
-            [jnp.broadcast_to(origin[:, None, None], (p, a, 1)),
-             samples[..., :-1]], axis=-1)
-        hit = prev & (~samples) & alive
 
-    any_hit = jnp.any(hit, axis=-1)
-    first = jnp.argmax(hit, axis=-1)                 # first True along T
+    tc = jnp.arange(1, _RAY_CHUNK + 1, dtype=jnp.float32)      # (C,)
+    org = jnp.broadcast_to(origin[:, None], (p, a))
+
+    def chunk(state):
+        t0, first, alive, prev = state
+        t = t0.astype(jnp.float32) + tc                        # (C,)
+        # sample coordinates: (P, A, C, 2) — one chunk of the ladder
+        coords = (pos[:, None, None, :]
+                  + grad[None, :, None, :] * t[None, None, :, None])
+        ry = jnp.round(coords[..., 0])
+        rx = jnp.round(coords[..., 1])
+        inb = ((coords[..., 0] >= 0) & (ry < h)
+               & (coords[..., 1] >= 0) & (rx < w))
+        iy = jnp.clip(ry.astype(jnp.int32), 0, h - 1)
+        ix = jnp.clip(rx.astype(jnp.int32), 0, w - 1)
+        samples = seg[iy, ix]                                  # (P, A, C)
+        # in-bounds is monotone along the ray; fold in the carried state
+        alive_c = (jnp.cumprod(inb.astype(jnp.int32), axis=-1).astype(bool)
+                   & alive[..., None])
+        if edge == 'up':
+            hit = samples & alive_c
+        else:
+            prev_c = jnp.concatenate([prev[..., None], samples[..., :-1]],
+                                     axis=-1)
+            hit = prev_c & (~samples) & alive_c
+        has = jnp.any(hit, axis=-1)
+        loc = t0 + 1 + jnp.argmax(hit, axis=-1).astype(jnp.int32)
+        first = jnp.where((first < 0) & has, loc, first)
+        return (t0 + _RAY_CHUNK, first, alive_c[..., -1],
+                jnp.where(alive_c[..., -1], samples[..., -1], prev))
+
+    def unresolved(state):
+        t0, first, alive, _prev = state
+        return (t0 < n_steps) & jnp.any((first < 0) & alive)
+
+    state = (jnp.int32(0), jnp.full((p, a), -1, jnp.int32),
+             jnp.ones((p, a), bool), org)
+    _t0, first, _alive, _prev = jax.lax.while_loop(unresolved, chunk, state)
+
+    # a hit found beyond the diagonal cap is out of the reference's march
+    any_hit = (first > 0) & (first <= n_steps)
     step_len = jnp.sqrt(jnp.sum(grad * grad, axis=-1))          # (A,)
-    dist = (first + 1).astype(jnp.float32) * step_len[None, :]
+    dist = first.astype(jnp.float32) * step_len[None, :]
     dist = jnp.where(any_hit, dist, -1.0)
     if edge == 'up':
         # reference: position already inside the mask -> all zeros
-        dist = jnp.where(origin[:, None], 0.0, dist)
+        dist = jnp.where(org, 0.0, dist)
     return dist
 
 
