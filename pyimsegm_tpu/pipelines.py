@@ -348,6 +348,9 @@ def segment_color2d_slic_features_model_graphcut(
                 feats_spec=_features_spec(dict_features),
                 gc_regul=float(gc_regul), gc_edge_type=gc_edge_type,
                 compactness=m)
+        if debug_visual is not None:
+            debug_visual['slic'] = np.asarray(labels)
+            debug_visual['proba'] = np.asarray(proba)
         return _fetch_reconstruct(labels, proba, graph_labels, cfg)
 
     labels, features, _counts, centers = _slic_features_core(

