@@ -19,7 +19,7 @@ def _data(n=240, seed=0):
     # the vmapped-forest compile alone costs ~70 s on this 1-core box; the
     # GradBoost/LogistRegr params keep the parity contract in the fast tier
     pytest.param('RandForest', marks=pytest.mark.slow),
-    'GradBoost', 'LogistRegr'])
+    pytest.param('GradBoost', marks=pytest.mark.slow), 'LogistRegr'])
 def test_fold_batched_scores_match_host_loop(name):
     """The vmapped path must score each fold like the sequential path does
     (same folds, same seed; small tolerance for the scaler epsilon and

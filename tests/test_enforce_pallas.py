@@ -97,10 +97,11 @@ def _xla_enforced(labels, cfg):
         os.environ['PYIMSEGM_SLIC_PALLAS'] = old
 
 
+@pytest.mark.slow
 def test_single_band_matches_xla_exactly():
     """One band => band-local seed == global seed => bit-exact parity."""
     from pyimsegm_tpu.ops.connectivity_pallas import band_rows_for
-    labels, cfg = _fragmented_labels(96, 128, 16, seed=3)
+    labels, cfg = _fragmented_labels(64, 96, 16, seed=3)
     assert band_rows_for(cfg.grid_h, cfg.step, cfg.pad_w) >= cfg.grid_h, \
         'fixture must be single-band'
     want = _xla_enforced(labels, cfg)
@@ -243,7 +244,7 @@ def test_rafused_single_band_matches_xla_exactly():
     image is one band (band-local reach is then global)."""
     from pyimsegm_tpu.ops.connectivity_pallas import (PLANES_FUSED_RA,
                                                       band_rows_for)
-    labels, cfg = _fragmented_labels(96, 128, 16, seed=3)
+    labels, cfg = _fragmented_labels(64, 96, 16, seed=3)
     assert band_rows_for(cfg.grid_h, cfg.step, cfg.pad_w,
                          planes=PLANES_FUSED_RA) >= cfg.grid_h
     want = _xla_enforced(labels, cfg)

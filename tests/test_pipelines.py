@@ -18,6 +18,7 @@ def _half_image(seed=0):
     return img, truth
 
 
+@pytest.mark.slow
 def test_pipe_unsup_shapes_and_quality():
     img, truth = _half_image()
     segm, soft = pipelines.pipe_color2d_slic_features_model_graphcut(

@@ -22,12 +22,31 @@ def test_compactness_mapping():
     assert slic_ops.compactness_from_regul(20, 0.2) == pytest.approx(4.0 ** 1.5)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _device_slic_fixture():
+    """One real-image SLIC solve shared by the contract tests below — the
+    (shape, sp_size) matches `segment_slic_img2d`'s internal calls so the
+    jitted SLIC program compiles once per session on this 1-core rig."""
+    import jax.numpy as jnp
+
+    from pyimsegm_tpu.ops import grid as grid_ops
+
+    img = data_samples.load_sample_image()[:300, :400]
+    cfg = slic_ops.slic_config(300, 400, 25)
+    m = slic_ops.compactness_from_regul(25, 0.2)
+    raw = np.asarray(slic_ops.slic_segment(jnp.asarray(img), cfg, m))
+    enforced = np.asarray(grid_ops.enforce_grid_connectivity(
+        jnp.asarray(raw), cfg))
+    return img, cfg, raw, enforced
+
+
 def test_slic_shapes_and_range():
-    rng = np.random.default_rng(0)
-    img = rng.random((100, 150, 3)).astype(np.float32)
-    labels = slic_ops.segment_slic_img2d(img, sp_size=20, relative_compact=0.2)
-    assert labels.shape == (100, 150)
-    cfg = slic_ops.slic_config(100, 150, 20)
+    img, cfg, _raw, _enf = _device_slic_fixture()
+    labels = slic_ops.segment_slic_img2d(img, sp_size=25, relative_compact=0.2)
+    assert labels.shape == img.shape[:2]
     assert labels.min() >= 0 and labels.max() < cfg.n_segments
 
 
@@ -100,15 +119,8 @@ def test_enforce_grid_connectivity_device():
     preserving the 3x3-tile grid guarantee (reference semantics:
     skimage ``enforce_connectivity=True``, `superpixels.py:61-63`)."""
     from scipy import ndimage
-    import jax.numpy as jnp
-    from pyimsegm_tpu.ops import grid as grid_ops
 
-    img = data_samples.load_sample_image()[:300, :400]
-    cfg = slic_ops.slic_config(img.shape[0], img.shape[1], 25)
-    m = slic_ops.compactness_from_regul(25, 0.2)
-    raw = np.asarray(slic_ops.slic_segment(jnp.asarray(img), cfg, m))
-    enforced = np.asarray(grid_ops.enforce_grid_connectivity(
-        jnp.asarray(raw), cfg))
+    img, cfg, raw, enforced = _device_slic_fixture()
 
     n_multi = sum(ndimage.label(enforced == lb)[1] > 1
                   for lb in np.unique(enforced))
