@@ -100,6 +100,21 @@ def main():
         sums[..., 3:5] / np.maximum(sums[..., 5:6], 1.0)).reshape(B, -1, 2)
     cent_raw = jnp.asarray(cent_raw)
 
+    # ---- fused single-launch enforcement (seed+reach+absorb, default path)
+    from pyimsegm_tpu.ops.enforce_pallas import enforce_fused_pallas, fused_fits
+
+    if fused_fits(cfg):
+        @jax.jit
+        def enforce_fused(labels, cyx):
+            def f(lb, c):
+                lb_p = grid_ops._pad_to_grid(lb, cfg, fill=-9)
+                return enforce_fused_pallas(lb_p, c, cfg)[:H, :W]
+            return jax.vmap(f)(labels, cyx)
+
+        print('%-34s %8.2f ms' % ('enforce fused (seed+reach+absorb)',
+                                  t(enforce_fused, labels, cent_raw)),
+              flush=True)
+
     # ---- anchor block (XLA): d2 + segment-min + reached0
     @jax.jit
     def anchor(labels, cyx):
