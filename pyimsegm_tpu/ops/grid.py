@@ -111,6 +111,33 @@ def grid_segment_sum(data, labels, cfg: SlicConfig):
     return out.reshape(gh * gw, f)
 
 
+def grid_geometry_moments(feat, labels, cfg: SlicConfig):
+    """Per-superpixel geometry + color moments in one measurement.
+
+    :param feat: (H, W, F) float feature image
+    :param labels: (H, W) int32 grid-structured labels
+    :returns: (K, 2F+3) f32 — ``[sum feat, sum feat^2, count, sum y,
+        sum x]`` (the 9 columns the post-enforcement re-reduce in
+        `pipelines._slic_features_core` consumes for F=3)
+
+    On TPU this is one Pallas launch that synthesizes the squared/ones/iota
+    channels in VMEM (`grid_pallas.grid_moments_pallas`); elsewhere it is
+    the portable stacked-channel segment sum.
+    """
+    from pyimsegm_tpu.ops.slic import _pallas_available
+    feat = jnp.asarray(feat, jnp.float32)
+    if _pallas_available():
+        from pyimsegm_tpu.ops.grid_pallas import grid_moments_pallas
+        return grid_moments_pallas(feat, labels, cfg)
+    h, w = labels.shape
+    data = jnp.concatenate(
+        [feat, feat * feat, jnp.ones((h, w, 1), jnp.float32),
+         jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)[..., None],
+         jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)[..., None]],
+        axis=-1)
+    return grid_segment_sum(data, labels, cfg)
+
+
 def grid_lookup(table, labels, cfg: SlicConfig):
     """Per-pixel lookup ``table[labels]`` without a gather.
 

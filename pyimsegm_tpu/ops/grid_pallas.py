@@ -109,7 +109,12 @@ def grid_reduce_pallas(data, labels, cfg: SlicConfig):
     )(data_f.reshape(f, gh, step, cfg.pad_w),
       labels_p.reshape(gh, step, cfg.pad_w))
 
-    # route each offset bin to its seed: 9 tiny (gh, gw) shifts
+    return _route_partials(partials, gh, gw, f)
+
+
+def _route_partials(partials, gh, gw, f):
+    """Route per-offset per-tile partial sums to their seeds: 9 tiny
+    (gh, gw) shifts.  partials: (gh, 9*F, gw) -> (K, F)."""
     parts = jnp.transpose(partials.reshape(gh, 9, f, gw), (0, 3, 1, 2))
     sums = jnp.zeros((gh, gw, f), jnp.float32)
     for oi, (di, dj) in enumerate(_OFFSETS):
@@ -119,6 +124,79 @@ def grid_reduce_pallas(data, labels, cfg: SlicConfig):
                                      max(-dj, 0):max(-dj, 0) + gw]
         sums = sums + shifted
     return sums.reshape(gh * gw, f)
+
+
+def _moments_kernel(feat_ref, labels_ref, out_ref, *, cfg: SlicConfig,
+                    f: int):
+    """feat_ref (F, 1, step, wp), labels_ref (1, step, wp) ->
+    out_ref (1, 9*(2F+3), gw): per-offset per-tile-column partial sums of
+    [feat, feat^2, 1, global_y, global_x] — the geometry/moment channels
+    are synthesized in VMEM, so the (H, W, 2F+3) stacked tensor the XLA
+    formulation reduces never exists in HBM."""
+    step, wp = cfg.step, cfg.pad_w
+    i = pl.program_id(0)
+    labels = labels_ref[0]
+    off = _offset_code(labels, i, cfg)
+    sel_pool = _sel_pool(cfg)
+    gy = (jax.lax.broadcasted_iota(jnp.int32, (step, wp), 0)
+          + i * step).astype(jnp.float32)
+    gx = jax.lax.broadcasted_iota(
+        jnp.int32, (step, wp), 1).astype(jnp.float32)
+    nch = 2 * f + 3
+    for oi in range(9):
+        mask = (off == oi).astype(jnp.float32)
+        feats = [feat_ref[ci, 0].astype(jnp.float32) for ci in range(f)]
+        rows = ([jnp.sum(d * mask, axis=0, keepdims=True) for d in feats]
+                + [jnp.sum(d * d * mask, axis=0, keepdims=True)
+                   for d in feats]
+                + [jnp.sum(mask, axis=0, keepdims=True),
+                   jnp.sum(gy * mask, axis=0, keepdims=True),
+                   jnp.sum(gx * mask, axis=0, keepdims=True)])
+        cols = jnp.concatenate(rows, axis=0)               # (2F+3, wp)
+        # HIGHEST for the same cancellation reason as _reduce_kernel
+        out_ref[0, oi * nch:(oi + 1) * nch, :] = jnp.dot(
+            cols, sel_pool, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.jit, static_argnames=('cfg',))
+def grid_moments_pallas(feat, labels, cfg: SlicConfig):
+    """Per-superpixel geometry + color moments in one launch.
+
+    The TPU replacement for ``grid_segment_sum`` over the stacked
+    ``[feat, feat**2, ones, iota_y, iota_x]`` tensor (the re-reduce after
+    connectivity enforcement, `pipelines._slic_features_core`): traffic
+    drops from ~(36+4) B/px (stacked f32 channels + labels) to
+    ~(4F+4) B/px, and the stack/concat round-trip through HBM disappears.
+
+    :param feat: (H, W, F) float feature image (H, W = cfg.height/width)
+    :param labels: (H, W) int32 SLIC labels (3x3-tile guarantee)
+    :returns: (K, 2F+3) f32 — [sum feat, sum feat^2, count, sum y, sum x]
+    """
+    gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
+    f = feat.shape[-1]
+    nch = 2 * f + 3
+    ph, pw = cfg.pad_h - feat.shape[0], cfg.pad_w - feat.shape[1]
+    feat_p = jnp.pad(feat.astype(jnp.float32), [(0, ph), (0, pw), (0, 0)])
+    labels_p = jnp.pad(labels, [(0, ph), (0, pw)], constant_values=-2)
+    feat_f = jnp.transpose(feat_p, (2, 0, 1))              # (F, hp, wp)
+
+    partials = pl.pallas_call(
+        functools.partial(_moments_kernel, cfg=cfg, f=f),
+        grid=(gh,),
+        in_specs=[
+            pl.BlockSpec((f, 1, step, cfg.pad_w), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, step, cfg.pad_w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 9 * nch, gw), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((gh, 9 * nch, gw), jnp.float32),
+    )(feat_f.reshape(f, gh, step, cfg.pad_w),
+      labels_p.reshape(gh, step, cfg.pad_w))
+
+    return _route_partials(partials, gh, gw, nch)
 
 
 def _lookup_kernel(labels_ref, table_ref, out_ref, *, cfg: SlicConfig,

@@ -81,14 +81,7 @@ def _slic_features_core(image, cfg, feats_spec, compactness,
             labels = grid_ops.enforce_grid_connectivity(
                 labels, cfg, min_size=int(0.5 * cfg.step * cfg.step),
                 centers=cent_raw)
-            h, w = labels.shape
-            data = jnp.concatenate(
-                [feat_img, feat_img * feat_img,
-                 jnp.ones((h, w, 1), jnp.float32),
-                 jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)[..., None],
-                 jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)[..., None]],
-                axis=-1)
-            sums = grid_ops.grid_segment_sum(data, labels, cfg)
+            sums = grid_ops.grid_geometry_moments(feat_img, labels, cfg)
             counts = sums[:, 6]
             safe = jnp.maximum(counts[:, None], 1.0)
             centers = sums[:, 7:9] / safe

@@ -71,6 +71,20 @@ def test_grid_lookup_matches_xla(scene):
     assert np.allclose(ref, new, atol=1e-6)
 
 
+def test_grid_geometry_moments_matches_xla(scene):
+    """The fused moments kernel (channels synthesized in VMEM) must match
+    the portable stacked-channel segment sum it replaces on the
+    post-enforcement re-reduce path (`pipelines._slic_features_core`)."""
+    from pyimsegm_tpu.ops import grid as grid_ops
+    cfg, img, labels = scene
+    ref = _with_flag('0', lambda: np.asarray(
+        grid_ops.grid_geometry_moments(img, labels, cfg)))
+    new = _with_flag('1', lambda: np.asarray(
+        grid_ops.grid_geometry_moments(img, labels, cfg)))
+    assert ref.shape == new.shape == (cfg.n_segments, 9)
+    assert np.allclose(ref, new, rtol=1e-4, atol=1e-2)
+
+
 def test_grid_adjacency_matches_xla(scene):
     from pyimsegm_tpu.ops import grid as grid_ops
     cfg, _img, labels = scene

@@ -188,6 +188,14 @@ def main():
     print('%-34s %8.2f ms' % ('re-reduce 9ch (pallas reduce)',
                               t(rereduce, labels_m, images)), flush=True)
 
+    @jax.jit
+    def moments(labels, images):
+        return jax.vmap(lambda lb, im: grid_ops.grid_geometry_moments(
+            im, lb, cfg))(labels, images)
+
+    print('%-34s %8.2f ms' % ('re-reduce 9ch (moments kernel)',
+                              t(moments, labels_m, images)), flush=True)
+
     # ---- adjacency presence + MRF + lookups
     @jax.jit
     def adjacency(labels):
