@@ -64,6 +64,7 @@ class Classifier:
 
     # -------------------------------------------------------------- fit ---
     def fit(self, features, labels, sample_weight=None):
+        self._device_fn = None            # invalidate the cached jit closure
         x = np.asarray(features, np.float32)
         y = np.asarray(labels)
         self.classes_ = np.unique(y)
@@ -156,6 +157,86 @@ class Classifier:
         elif self.name == 'KNN':
             proba = linear_mod.knn_predict_proba(self._params, x)
         return np.asarray(proba)
+
+    def device_predict_fn(self):
+        """Traceable predict: ``(apply_fn, arrays)`` with
+        ``apply_fn(arrays, x) -> (N, C) proba`` usable *inside* jit.
+
+        ``arrays`` is a pytree of device arrays (scaler moments, optional PCA
+        basis, model parameters); every static attribute (model kind, tree
+        depth, k) is baked into the closure, so a jitted pipeline can take
+        ``apply_fn`` as a static argument and ``arrays`` as a dynamic one.
+        The closure is cached per fitted classifier — one jit trace per
+        model, not per call (the eager ``predict_proba`` round-trips
+        features/proba through the host on every call, which dominates
+        supervised per-image latency on a remote-attached device)."""
+        if self._params is None:
+            raise RuntimeError('classifier is not fitted')
+        if getattr(self, '_device_fn', None) is not None:
+            return self._device_fn
+        mu, sd = self._scaler
+        arrays = {'mu': jnp.asarray(mu, jnp.float32),
+                  'sd': jnp.asarray(sd, jnp.float32)}
+        if self._pca is not None:
+            arrays['pca'] = jnp.asarray(self._pca, jnp.float32)
+        p = self._params
+        name = self.name
+        if name in ('RandForest', 'DecTree'):
+            depth = int(p.depth)
+            arrays.update(feat=p.feat, thr=p.thr, leaf=p.leaf_proba)
+
+            def model(a, xs):
+                return forest_mod._forest_predict_jit(
+                    a['feat'], a['thr'], a['leaf'], depth, xs)
+        elif name == 'GradBoost':
+            depth = int(p.depth)
+            arrays.update(feat=p.feat, thr=p.thr, leaf=p.leaf,
+                          base=p.base_score, lr=p.learning_rate)
+
+            def model(a, xs):
+                raw = gbt_mod._gbt_raw_scores(a['feat'], a['thr'], a['leaf'],
+                                              a['base'], a['lr'], depth, xs)
+                return jax.nn.softmax(raw, axis=-1)
+        elif name == 'AdaBoost':
+            depth = int(p.depth)
+            arrays.update(feat=p.feat, thr=p.thr, leaf=p.leaf_proba)
+
+            def model(a, xs):
+                probs = forest_mod._forest_predict_jit(
+                    a['feat'], a['thr'], a['leaf'], depth, xs,
+                    reduce_mean=False)
+                logp = jnp.log(jnp.clip(probs, 1e-10, 1.0))
+                scores = logp - jnp.mean(logp, axis=-1, keepdims=True)
+                return jax.nn.softmax(jnp.sum(scores, axis=0), axis=-1)
+        elif name in ('LogistRegr', 'SVM'):
+            arrays.update(w=p.w, b=p.b)
+
+            def model(a, xs):
+                return jax.nn.softmax(xs @ a['w'] + a['b'], axis=-1)
+        elif name == 'MLP':
+            arrays.update(w1=p.w1, b1=p.b1, w2=p.w2, b2=p.b2)
+
+            def model(a, xs):
+                h = jax.nn.relu(xs @ a['w1'] + a['b1'])
+                return jax.nn.softmax(h @ a['w2'] + a['b2'], axis=-1)
+        elif name == 'KNN':
+            k = int(p.k)
+            arrays.update(x=p.x, onehot=p.onehot, weight=p.weight)
+
+            def model(a, xs):
+                return linear_mod._knn_proba(a['x'], a['onehot'], a['weight'],
+                                             xs, k)
+        else:
+            raise ValueError('unknown classifier: %r' % name)
+
+        def apply(a, x):
+            xs = (x.astype(jnp.float32) - a['mu']) / a['sd']
+            if 'pca' in a:
+                xs = xs @ a['pca']
+            return model(a, xs)
+
+        self._device_fn = (apply, arrays)
+        return self._device_fn
 
     def predict(self, features):
         return self.classes_[np.argmax(self.predict_proba(features), axis=1)]

@@ -176,11 +176,13 @@ def _pipe_unsup_core(image, *, cfg, feats_spec, nb_classes, estim_model,
 
 @functools.partial(
     jax.jit,
-    static_argnames=('cfg', 'feats_spec', 'gc_regul', 'gc_edge_type'))
+    static_argnames=('cfg', 'feats_spec', 'gc_regul', 'gc_edge_type',
+                     'connectivity'))
 def _segment_with_model_core(image, model: ClassModel, *, cfg, feats_spec,
-                             gc_regul, gc_edge_type, compactness):
+                             gc_regul, gc_edge_type, compactness,
+                             connectivity=True):
     labels, features, counts, centers = _slic_features_core(
-        image, cfg, feats_spec, compactness)
+        image, cfg, feats_spec, compactness, connectivity=connectivity)
     proba = model.predict_proba(features)
     from pyimsegm_tpu.ops.grid import grid_lookup
     segm_soft = grid_lookup(proba, labels, cfg)
@@ -192,12 +194,46 @@ def _segment_with_model_core(image, model: ClassModel, *, cfg, feats_spec,
     return segm, segm_soft, labels, proba, graph_labels
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=('clf_apply', 'cfg', 'feats_spec', 'gc_regul',
+                     'gc_edge_type', 'connectivity'))
+def _segment_with_classif_core(image, clf_arrays, *, clf_apply, cfg,
+                               feats_spec, gc_regul, gc_edge_type,
+                               compactness, connectivity=True):
+    """One jitted program for the supervised predict path: SLIC -> features
+    (incl. texture banks) -> classifier predict -> MRF solve, all on device.
+
+    ``clf_apply``/``clf_arrays`` come from
+    :meth:`pyimsegm_tpu.classification.Classifier.device_predict_fn` — the
+    closure is cached per fitted classifier, so repeated predictions reuse
+    one compiled program.  Replaces the round-3/4 eager composition whose
+    host<->device round-trips (features fetch, proba upload, eager graphcut
+    glue, full-res label fetch) dominated BASELINE config-2 latency.
+    """
+    labels, features, _counts, centers = _slic_features_core(
+        image, cfg, feats_spec, compactness, connectivity=connectivity)
+    proba = clf_apply(clf_arrays, jnp.nan_to_num(features))
+    graph_labels = graphcut.segment_graph_cut_general(
+        labels, proba, cfg.n_segments, image=jnp.asarray(image, jnp.float32),
+        features=features, gc_regul=gc_regul, edge_type=gc_edge_type,
+        grid_ctx=(labels, cfg), centers=centers)
+    return labels, proba, graph_labels
+
+
 def _fetch_reconstruct(labels, proba, graph_labels, cfg):
     """Host-side reconstruction of (segm, segm_soft) from the compact
     factors: fetch (H, W) labels (uint16 when K allows) plus the (K,)/(K, C)
     tables and gather on host.  Value-identical to fetching the device
     ``grid_lookup`` outputs, at ~5x less tunnel traffic — host<->device
-    transfer dominates single-image latency (BASELINE config 1)."""
+    transfer dominates single-image latency (BASELINE config 1).
+
+    Precondition: ``labels`` must come from the *enforced* (connectivity=True)
+    grid path, where ``grid_lookup(t, labels) == t[labels]`` holds exactly
+    (asserted in the suite).  Wrappers running with ``connectivity=False``
+    must fetch the device ``grid_lookup`` outputs instead (the raw/absorbed
+    label plane may hold rare out-of-window pixels, for which ``grid_lookup``
+    returns 0 rather than ``t[label]``)."""
     small = labels.astype(jnp.uint16) if cfg.n_segments <= 0xffff else labels
     for arr in (small, proba, graph_labels):
         arr.copy_to_host_async()
@@ -313,7 +349,7 @@ def _segment_compat_core(image, model, dict_features, sp_size, sp_regul,
 def segment_color2d_slic_features_model_graphcut(
         image, model_pipeline, dict_features, sp_size=30,
         sp_regul=0.2, gc_regul=1.0, gc_edge_type='model', debug_visual=None,
-        sp_compat=False):
+        sp_compat=False, connectivity=True):
     """Segment one image with a fitted model (`pipelines.py:160-241`).
 
     ``model_pipeline`` may be an unsupervised :class:`ClassModel` (fully
@@ -340,12 +376,42 @@ def segment_color2d_slic_features_model_graphcut(
                 image, model_pipeline, cfg=cfg,
                 feats_spec=_features_spec(dict_features),
                 gc_regul=float(gc_regul), gc_edge_type=gc_edge_type,
-                compactness=m)
+                compactness=m, connectivity=connectivity)
         if debug_visual is not None:
             debug_visual['slic'] = np.asarray(labels)
             debug_visual['proba'] = np.asarray(proba)
+        if not connectivity:
+            # raw/absorbed labels may hold out-of-window pixels; the device
+            # grid_lookup outputs are authoritative (see _fetch_reconstruct)
+            return np.asarray(segm), np.asarray(segm_soft)
         return _fetch_reconstruct(labels, proba, graph_labels, cfg)
 
+    if hasattr(model_pipeline, 'device_predict_fn'):
+        # fitted Classifier: one jitted program for the whole predict path
+        clf_apply, clf_arrays = model_pipeline.device_predict_fn()
+        labels, proba, graph_labels = _segment_with_classif_core(
+            image, clf_arrays, clf_apply=clf_apply, cfg=cfg,
+            feats_spec=_features_spec(dict_features),
+            gc_regul=float(gc_regul), gc_edge_type=gc_edge_type,
+            compactness=m, connectivity=connectivity)
+        classes = np.asarray(model_pipeline.classes_)
+        if connectivity:
+            segm_dense, segm_soft = _fetch_reconstruct(
+                labels, proba, graph_labels, cfg)
+        else:
+            from pyimsegm_tpu.ops.grid import grid_lookup
+            table = jnp.concatenate(
+                [graph_labels[:, None].astype(jnp.float32), proba], axis=-1)
+            up = grid_lookup(table, labels, cfg)
+            segm_dense = np.asarray(up[..., 0]).astype(np.int64)
+            segm_soft = np.asarray(up[..., 1:])
+        if debug_visual is not None:
+            debug_visual['slic'] = np.asarray(labels)
+            debug_visual['proba'] = np.asarray(proba)
+        return classes[segm_dense], segm_soft
+
+    # generic duck-typed pipeline (e.g. an sklearn-style estimator): eager
+    # composition with a host predict_proba round-trip
     labels, features, _counts, centers = _slic_features_core(
         image, cfg, _features_spec(dict_features), m)
     proba = np.asarray(model_pipeline.predict_proba(

@@ -86,6 +86,64 @@ def test_unsup_pipeline_on_real_ovary_image():
 
 
 @pytest.mark.slow
+def test_classif_device_core_matches_eager():
+    """The jitted supervised predict core (classifier fused into one XLA
+    program) must produce the same labels as the eager predict_proba
+    composition, and the classes_ relabelling contract must hold."""
+    img, annot = _half_image(seed=7)
+    feats = {'color': ['mean', 'std', 'energy']}
+    classif, _s, fts, _l = pipelines.train_classif_color2d_slic_features(
+        [img], [annot], feats, sp_size=20, sp_regul=0.2, nb_classif_search=1)
+    # device closure vs host predict_proba on the same features
+    apply_fn, arrays = classif.device_predict_fn()
+    proba_dev = np.asarray(apply_fn(arrays, np.nan_to_num(fts[0])))
+    proba_host = classif.predict_proba(np.nan_to_num(fts[0]))
+    np.testing.assert_allclose(proba_dev, proba_host, atol=1e-5)
+    # closure is cached per fitted classifier
+    assert classif.device_predict_fn()[0] is apply_fn
+
+    segm, soft = pipelines.segment_color2d_slic_features_model_graphcut(
+        img, classif, feats, sp_size=20, sp_regul=0.2, gc_regul=1.0)
+    assert segm.shape == img.shape[:2]
+    assert set(np.unique(segm)) <= set(np.asarray(classif.classes_).tolist())
+    assert adjusted_rand_score(segm, annot) > 0.5
+
+
+@pytest.mark.slow
+def test_segment_connectivity_false_value_identity():
+    """``connectivity=False`` (public knob): wrapper outputs must be
+    value-identical to the device grid_lookup outputs — the raw-label plane
+    may hold out-of-window pixels for which the host table gather of
+    ``_fetch_reconstruct`` would disagree (VERDICT r4 weak #7)."""
+    import jax.numpy as jnp
+    from pyimsegm_tpu.ops import slic as slic_ops
+    from pyimsegm_tpu.ops.grid import grid_lookup
+
+    img, annot = _half_image(seed=8)
+    feats = {'color': ['mean', 'std']}
+    classif, _s, _f, _l = pipelines.train_classif_color2d_slic_features(
+        [img], [annot], feats, sp_size=20, sp_regul=0.2, nb_classif_search=1)
+    segm, soft = pipelines.segment_color2d_slic_features_model_graphcut(
+        img, classif, feats, sp_size=20, sp_regul=0.2, gc_regul=1.0,
+        connectivity=False)
+    # recompute the authoritative device outputs from the same core
+    clf_apply, clf_arrays = classif.device_predict_fn()
+    cfg = slic_ops.slic_config(img.shape[0], img.shape[1], 20)
+    m = slic_ops.compactness_from_regul(20, 0.2)
+    labels, proba, graph_labels = pipelines._segment_with_classif_core(
+        jnp.asarray(img), clf_arrays, clf_apply=clf_apply, cfg=cfg,
+        feats_spec=pipelines._features_spec(feats), gc_regul=1.0,
+        gc_edge_type='model', compactness=m, connectivity=False)
+    classes = np.asarray(classif.classes_)
+    expect_segm = classes[np.asarray(
+        grid_lookup(graph_labels.astype(jnp.float32)[:, None], labels,
+                    cfg)[..., 0]).astype(np.int64)]
+    expect_soft = np.asarray(grid_lookup(proba, labels, cfg))
+    np.testing.assert_array_equal(segm, expect_segm)
+    np.testing.assert_allclose(soft, expect_soft, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_segment_with_trained_classifier():
     """The public segment entry must accept a trained classifier (reference
     `pipelines.py:224-240`): predict_proba + classes_ relabelling."""
