@@ -139,6 +139,53 @@ def bench_supervised():
            'train_s': round(t_train, 2),
            'features': 'color+Gabor+LBP'})
 
+    # device-side latency of the same fused program (image resident, outputs
+    # blocked on device) — the deployable figure; the wall above includes the
+    # dev-rig tunnel (see QUALITY.md "single-image latency")
+    import jax
+    import jax.numpy as jnp
+    from pyimsegm_tpu.ops import slic as slic_ops
+    imgj = jnp.asarray(imgs[0])
+    cfg = slic_ops.slic_config(imgs[0].shape[0], imgs[0].shape[1], SP_SIZE)
+    m = slic_ops.compactness_from_regul(SP_SIZE, SP_REGUL)
+    clf_apply, clf_arrays = classif.device_predict_fn()
+    spec = pipelines._features_spec(feats)
+
+    def run_dev():
+        out = pipelines._segment_with_classif_core(
+            imgj, clf_arrays, clf_apply=clf_apply, cfg=cfg, feats_spec=spec,
+            gc_regul=5.0, gc_edge_type='model', compactness=m)
+        np.asarray(out[2].ravel()[0])          # force queue drain (tunnel)
+
+    run_dev()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        run_dev()
+    dt = (time.perf_counter() - t0) / reps
+    _emit('cfg2_supervised_core_device', dt * 1e3, 'ms/image',
+          {'mpix_s': round(mpix / dt, 2),
+           'note': 'jitted core, on-device in/out (excl. host link)'})
+
+    # reference-matching feature family (the reference has no Gabor/LBP):
+    # color + tLM mean/std/energy, comparable with
+    # tools/refrun/time_reference.py ref_cfg2 row
+    feats_tlm = {'color': ['mean', 'std', 'energy'],
+                 'tLM': ['mean', 'std', 'energy']}
+    spec_tlm = pipelines._features_spec(feats_tlm)
+
+    def run_tlm():
+        out = pipelines._slic_features_core(imgj, cfg, spec_tlm, m)
+        np.asarray(out[1].ravel()[0])
+
+    run_tlm()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        run_tlm()
+    dt = (time.perf_counter() - t0) / reps
+    _emit('cfg2_tlm_features_device', dt * 1e3, 'ms/image',
+          {'mpix_s': round(mpix / dt, 2),
+           'features': 'color+tLM (reference-matching family)'})
+
 
 def bench_headline():
     """Config 3: delegate to bench.py (the driver's single-line metric)."""

@@ -89,14 +89,10 @@ def compute_selected_features_color2d(image, seg_ids, num_segments, dict_feature
     for key in gabor_keys:
         flags = tuple(dict_features[key])
         bank = _get_gabor_bank()
-        img = filter_ops.subtract_background(image, sigma=150.0)
-        responses = filter_ops.filter_bank_response(img, bank)
-        for bi, bname in enumerate(bank.names):
-            feats.append(segment_stats.compute_channel_statistics(
-                responses[bi], seg_ids, num_segments, flags,
-                grid_ctx=grid_ctx))
-            ch = ['tGabor_%s-ch%i' % (bname, i + 1) for i in range(3)]
-            names += _stat_names(ch, flags)
+        f, n = _texture_battery_features(image, seg_ids, num_segments, flags,
+                                         bank, 'tGabor', grid_ctx=grid_ctx)
+        feats.append(f)
+        names += n
 
     lbp_keys = [k for k in dict_features if k.startswith('tLBP')]
     for _key in lbp_keys:
@@ -119,17 +115,84 @@ def compute_selected_features_color2d(image, seg_ids, num_segments, dict_feature
 def _texture_features_color2d(image, seg_ids, num_segments, flags, bank_type,
                               grid_ctx=None):
     """LM texture statistics (`descriptors.py:1041-1106`): background
-    subtraction, one batched bank convolution, per-battery normalisation,
-    then channel statistics per battery."""
+    subtraction, one batched bank convolution, then batched post-scaled
+    channel statistics (see :func:`_texture_battery_features`)."""
     bank = _get_bank(bank_type)
+    return _texture_battery_features(image, seg_ids, num_segments, flags,
+                                     bank, 'tLM', grid_ctx=grid_ctx)
+
+
+def _texture_battery_features(image, seg_ids, num_segments, flags, bank,
+                              prefix, grid_ctx=None):
+    """Per-superpixel statistics of a filter bank's battery responses.
+
+    The reference normalises each battery response by
+    ``log(1+||r||)/0.03/||r||`` before computing statistics
+    (`descriptors.py:1021-1027,1088-1094`).  That scale is linear per
+    battery, so every statistic commutes with it (mean/std/median/meanGrad
+    by ``s``, energy by ``s**2``) and ``||r||**2`` equals the total of the
+    per-superpixel energy sums.  This lets all B batteries' moment
+    statistics ride ONE segment reduction over the raw (B*C)-channel stack —
+    instead of B normalisation passes over full-resolution responses plus B
+    separate reductions — with the normalisation applied to the (K, C)
+    statistics afterwards.  Results are identical up to float ordering.
+    """
+    image = jnp.asarray(image, jnp.float32)
     img = filter_ops.subtract_background(image, sigma=150.0)
-    responses = filter_ops.filter_bank_response(img, bank)   # (B, H, W, C)
+    raw = filter_ops.filter_bank_raw(img, bank)              # (B, H, W, C)
+    b, h, w, c = raw.shape
+    stack = jnp.moveaxis(raw, 0, 2).reshape(h, w, b * c)     # battery-major
+
+    ones = jnp.ones((h, w, 1), jnp.float32)
+    if grid_ctx is not None:
+        # moments kernel synthesizes the squared/ones channels in VMEM — the
+        # (H, W, 2BC+1) stacked tensor never exists in HBM
+        from pyimsegm_tpu.ops.grid import grid_geometry_moments
+        labels2d, cfg = grid_ctx
+        msums = grid_geometry_moments(stack, labels2d, cfg)  # (K, 2BC+3)
+        sums = msums[:, :2 * b * c]
+        cnt = msums[:, 2 * b * c:2 * b * c + 1]
+    else:
+        asums = segment_stats._reduce_sums(
+            jnp.concatenate([stack, stack * stack, ones], -1),
+            seg_ids, num_segments, grid_ctx)                 # (K, 2BC+1)
+        sums, cnt = asums[:, :-1], asums[:, -1:]
+    safe = jnp.maximum(cnt, 1.0)
+    mean_r = sums[:, :b * c] / safe                          # (K, B*C)
+    energy_sums = sums[:, b * c:2 * b * c]
+    energy_r = energy_sums / safe
+    std_r = jnp.sqrt(jnp.maximum(energy_r - mean_r * mean_r, 0.0))
+    # per-battery ||r||^2 from the segment energy sums (all pixels covered)
+    scales = filter_ops.battery_norm_scales(
+        jnp.sum(energy_sums.reshape(num_segments, b, c), axis=(0, 2)))
+
+    want_median = 'median' in flags
+    want_grad = 'meanGrad' in flags
+    if want_median:
+        median_r = segment_stats.segment_median(
+            stack.reshape(-1, b * c), seg_ids, num_segments)
+    if want_grad:
+        grad = jnp.stack([segment_stats.image_gradient_sum(stack[..., i])
+                          for i in range(b * c)], axis=-1)
+        gsum = segment_stats._reduce_sums(
+            jnp.concatenate([grad, ones], -1), seg_ids, num_segments,
+            grid_ctx)
+        grad_r = gsum[:, :b * c] / jnp.maximum(gsum[:, -1:], 1.0)
+
     feats, names = [], []
     for bi, bname in enumerate(bank.names):
-        resp = responses[bi]
-        feats.append(segment_stats.compute_channel_statistics(
-            resp, seg_ids, num_segments, flags, grid_ctx=grid_ctx))
-        ch = ['tLM_%s-ch%i' % (bname, i + 1) for i in range(3)]
+        s = scales[bi]
+        cols = slice(bi * c, (bi + 1) * c)
+        blocks = {'mean': s * mean_r[:, cols],
+                  'std': s * std_r[:, cols],
+                  'energy': (s * s) * energy_r[:, cols]}
+        if want_median:
+            blocks['median'] = s * median_r[:, cols]
+        if want_grad:
+            blocks['meanGrad'] = s * grad_r[:, cols]
+        feats.append(jnp.concatenate(
+            [blocks[f] for f in NAMES_FEATURE_FLAGS if f in flags], axis=-1))
+        ch = ['%s_%s-ch%i' % (prefix, bname, i + 1) for i in range(c)]
         names += _stat_names(ch, flags)
     return jnp.concatenate(feats, axis=-1), names
 

@@ -103,14 +103,22 @@ def create_filter_bank_lm_2d(radius=16, sigmas=DEFAULT_FILTERS_SIGMAS, nb_orient
     return FilterBank(stack, tuple(slices), tuple(names))
 
 
-def filter_bank_response(image, bank: FilterBank):
-    """Convolve all bank filters with every channel in one MXU pass.
+def filter_bank_raw(image, bank: FilterBank):
+    """Convolve all bank filters with every channel in one MXU pass and take
+    the per-battery orientation maxima — WITHOUT the response normalisation.
 
     :param image: (H, W, C) float32 (already background-subtracted)
     :param bank: static bank
-    :returns: (n_batteries, H, W, C) responses with orientation-max and the
-        reference normalisation ``r * log(1+||r||)/0.03/||r||`` applied per
-        battery (norm over all channels jointly, `descriptors.py:1088-1094`).
+    :returns: (n_batteries, H, W, C) clamped orientation-max responses
+
+    The reference normalisation ``r * log(1+||r||)/0.03/||r||``
+    (`descriptors.py:1088-1094`) is *linear per battery*, so every
+    superpixel statistic of the normalised response equals the raw statistic
+    post-scaled (mean/std/median/meanGrad by ``s``, energy by ``s**2``) and
+    ``||r||**2`` itself falls out of the segment energy sums — see
+    :func:`pyimsegm_tpu.descriptors._texture_battery_stats`.  Skipping the
+    normalisation here avoids B extra full-resolution reductions and a full
+    normalised-response round-trip through HBM.
     """
     h, w, c = image.shape
     n_f, support, _ = bank.kernels.shape
@@ -132,11 +140,37 @@ def filter_bank_response(image, bank: FilterBank):
         battery = resp[:, start:stop]                        # (C, nb, H, W)
         r = jnp.max(battery, axis=1) if stop - start > 1 else battery[:, 0]
         r = jnp.minimum(r, MAX_SIGNAL_RESPONSE)
-        norm = jnp.sqrt(jnp.sum(r * r))
-        scale = jnp.where(norm > 0, jnp.log1p(norm) / 0.03 / jnp.maximum(norm, 1e-30), 0.0)
-        r = r * scale
         outs.append(jnp.moveaxis(r, 0, -1))                  # (H, W, C)
     return jnp.stack(outs)
+
+
+def battery_norm_scales(energy_totals):
+    """Per-battery normalisation scale from the raw response energy totals.
+
+    :param energy_totals: (B,) ``sum(r*r)`` over all pixels and channels of
+        each battery's raw response
+    :returns: (B,) scales ``log(1+||r||)/0.03/||r||`` (0 for an all-zero
+        battery), exactly `descriptors.py:1088-1094`.
+    """
+    norm = jnp.sqrt(jnp.maximum(energy_totals, 0.0))
+    return jnp.where(norm > 0,
+                     jnp.log1p(norm) / 0.03 / jnp.maximum(norm, 1e-30), 0.0)
+
+
+def filter_bank_response(image, bank: FilterBank):
+    """Normalised bank responses (`descriptors.py:1021-1027,1088-1094`).
+
+    :returns: (n_batteries, H, W, C) responses with orientation-max and the
+        reference normalisation ``r * log(1+||r||)/0.03/||r||`` applied per
+        battery (norm over all channels jointly).
+
+    Kept for the full-resolution consumers (gray-3D texture path, response
+    visualisation); the per-superpixel feature path uses
+    :func:`filter_bank_raw` + post-scaled statistics instead.
+    """
+    raw = filter_bank_raw(image, bank)                       # (B, H, W, C)
+    scales = battery_norm_scales(jnp.sum(raw * raw, axis=(1, 2, 3)))
+    return raw * scales[:, None, None, None]
 
 
 def subtract_background(image, sigma=150.0, downsample=8):
@@ -149,16 +183,17 @@ def subtract_background(image, sigma=150.0, downsample=8):
     use the exact channel mean.
     """
     h, w, c = image.shape
+    # the blurred background is identical across channels (channel-mean in,
+    # uniform channel kernel): compute it once at 1 channel and broadcast
     chan_mixed = jnp.mean(image, axis=-1, keepdims=True)
-    chan_mixed = jnp.broadcast_to(chan_mixed, image.shape)
     ds = downsample
     ph, pw = (-h) % ds, (-w) % ds
     x = jnp.pad(chan_mixed, [(0, ph), (0, pw), (0, 0)], mode='edge')
     hs, ws = x.shape[0] // ds, x.shape[1] // ds
-    small = x.reshape(hs, ds, ws, ds, c).mean(axis=(1, 3))
+    small = x.reshape(hs, ds, ws, ds, 1).mean(axis=(1, 3))
     from pyimsegm_tpu.ops.slic import gaussian_blur
     small = gaussian_blur(small, sigma / ds)
-    big = jax.image.resize(small, (hs * ds, ws * ds, c), method='linear')
+    big = jax.image.resize(small, (hs * ds, ws * ds, 1), method='linear')
     return image - big[:h, :w]
 
 
@@ -224,6 +259,12 @@ def lbp_codes(channel, uniform=True):
 
     :param channel: (H, W) float
     :returns: (H, W) int32 codes in [0, 256) or uniform bins [0, 10)
+
+    The uniform binning is computed arithmetically (circular transition
+    count + popcount over the 8 comparison planes) rather than through the
+    256-entry LUT gather — identical result by the uniform-LBP definition,
+    no gather op on the TPU hot path (the LUT variant remains the oracle in
+    ``tests/test_texture_extra.py``).
     """
     x = jnp.asarray(channel, jnp.float32)
     xp = jnp.pad(x, 1, mode='edge')
@@ -231,13 +272,18 @@ def lbp_codes(channel, uniform=True):
     # neighbours in circular order starting east, counter-clockwise
     offs = [(0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1), (1, 0),
             (1, 1)]
-    code = jnp.zeros((h, w), jnp.int32)
-    for bit, (dy, dx) in enumerate(offs):
+    bits = []
+    for dy, dx in offs:
         nb = xp[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
-        code = code + ((nb >= x).astype(jnp.int32) << bit)
-    if uniform:
-        code = jnp.asarray(_lbp_uniform_lut())[code]
-    return code
+        bits.append((nb >= x).astype(jnp.int32))
+    if not uniform:
+        code = jnp.zeros((h, w), jnp.int32)
+        for bit, b in enumerate(bits):
+            code = code + (b << bit)
+        return code
+    nset = sum(bits)
+    trans = sum(jnp.abs(bits[i] - bits[(i + 1) % 8]) for i in range(8))
+    return jnp.where(trans <= 2, nset, 9)
 
 
 def lbp_histogram_features(image, seg_ids, num_segments, uniform=True,
@@ -246,17 +292,31 @@ def lbp_histogram_features(image, seg_ids, num_segments, uniform=True,
 
     :param image: (H, W, C) float
     :returns: ((num_segments, C * n_bins) features, names)
+
+    Uniform mode stacks all ``C * 10`` one-hot planes (bf16 — exact for 0/1,
+    accumulated in f32 by the reduction) into ONE segment reduction instead
+    of C separate full-image passes.
     """
     from pyimsegm_tpu.ops.segment_stats import _reduce_sums
     image = jnp.asarray(image, jnp.float32)
     h, w, c = image.shape
     n_bins = 10 if uniform else 256
-    feats, names = [], []
+    names = ['tLBP-ch%i_bin%i' % (ch + 1, b)
+             for ch in range(c) for b in range(n_bins)]
+    if uniform:
+        onehot = jnp.concatenate(
+            [jax.nn.one_hot(lbp_codes(image[..., ch], uniform=True),
+                            n_bins, dtype=jnp.bfloat16) for ch in range(c)],
+            axis=-1)                                     # (H, W, C*10)
+        sums = _reduce_sums(onehot, seg_ids, num_segments, grid_ctx)
+        sums = sums.reshape(num_segments, c, n_bins)
+        total = jnp.maximum(jnp.sum(sums, axis=2, keepdims=True), 1.0)
+        return (sums / total).reshape(num_segments, c * n_bins), names
+    feats = []
     for ch in range(c):
         codes = lbp_codes(image[..., ch], uniform=uniform)
         onehot = jax.nn.one_hot(codes, n_bins, dtype=jnp.float32)
         sums = _reduce_sums(onehot, seg_ids, num_segments, grid_ctx)
         total = jnp.maximum(jnp.sum(sums, axis=1, keepdims=True), 1.0)
         feats.append(sums / total)
-        names += ['tLBP-ch%i_bin%i' % (ch + 1, b) for b in range(n_bins)]
     return jnp.concatenate(feats, axis=1), names

@@ -30,6 +30,11 @@ from pyimsegm_tpu.ops.slic import SlicConfig
 
 _OFFSETS = [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)]
 
+#: scoped-VMEM budget for the reduce/moments kernels: the default 16M limit
+#: overflows once the channel count grows past ~30 at bench tile sizes (the
+#: batched texture reductions run 18-39 channels); v5e has 128M physical
+_VMEM_REDUCE = 64 * 1024 * 1024
+
 
 def _offset_code(labels, i, cfg: SlicConfig):
     """Per-pixel routing code 0..8 (-1 invalid) for tile row ``i``."""
@@ -90,7 +95,11 @@ def grid_reduce_pallas(data, labels, cfg: SlicConfig):
     gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
     f = data.shape[-1]
     ph, pw = cfg.pad_h - data.shape[0], cfg.pad_w - data.shape[1]
-    data_p = jnp.pad(data.astype(jnp.float32), [(0, ph), (0, pw), (0, 0)])
+    # bf16 inputs stay bf16 in HBM (halved traffic; the kernel accumulates
+    # in f32), everything else is promoted once here
+    if data.dtype != jnp.bfloat16:
+        data = data.astype(jnp.float32)
+    data_p = jnp.pad(data, [(0, ph), (0, pw), (0, 0)])
     labels_p = jnp.pad(labels, [(0, ph), (0, pw)], constant_values=-2)
     data_f = jnp.transpose(data_p, (2, 0, 1))            # (F, hp, wp)
 
@@ -106,6 +115,8 @@ def grid_reduce_pallas(data, labels, cfg: SlicConfig):
         out_specs=pl.BlockSpec((1, 9 * f, gw), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((gh, 9 * f, gw), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_REDUCE),
     )(data_f.reshape(f, gh, step, cfg.pad_w),
       labels_p.reshape(gh, step, cfg.pad_w))
 
@@ -193,6 +204,8 @@ def grid_moments_pallas(feat, labels, cfg: SlicConfig):
         out_specs=pl.BlockSpec((1, 9 * nch, gw), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((gh, 9 * nch, gw), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_REDUCE),
     )(feat_f.reshape(f, gh, step, cfg.pad_w),
       labels_p.reshape(gh, step, cfg.pad_w))
 

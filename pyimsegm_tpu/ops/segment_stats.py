@@ -91,7 +91,9 @@ def _reduce_sums(data_hw_f, seg_ids, num_segments, grid_ctx):
         from pyimsegm_tpu.ops.grid import grid_segment_sum
         labels2d, cfg = grid_ctx
         return grid_segment_sum(data_hw_f, labels2d, cfg)
-    flat = data_hw_f.reshape(-1, data_hw_f.shape[-1])
+    # generic path: promote to f32 — segment_sum accumulates in the input
+    # dtype (bf16 one-hot planes would round once sums exceed 256)
+    flat = data_hw_f.astype(jnp.float32).reshape(-1, data_hw_f.shape[-1])
     return jax.ops.segment_sum(flat, seg_ids, num_segments=num_segments)
 
 

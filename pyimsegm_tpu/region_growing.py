@@ -457,6 +457,32 @@ def _eval_prior_costs(points, cdf, centre, shift, selected_mask=None):
     return cost
 
 
+@jax.jit
+def _prior_proba_all_objects(points, tables, centres, shifts):
+    """(O, N) shape priors for every object in ONE device program — the
+    per-iteration RG2Sp shape update makes a single dispatch + fetch instead
+    of one per object (each round-trip costs ~25 ms on a remote-attached
+    device, which dominated BASELINE config 5's per-iteration wall)."""
+    return jax.vmap(
+        lambda t, c, s: sp_ops.shape_prior_points(points, t, c, s)
+    )(tables, centres, shifts)
+
+
+def _eval_prior_costs_all(points, tables, centres, shifts,
+                          selected_mask=None):
+    """-log(prior + eps) for all objects at once; ``tables`` is (O, A, D)."""
+    proba = np.asarray(_prior_proba_all_objects(
+        jnp.asarray(points, jnp.float32),
+        jnp.asarray(np.asarray(tables), jnp.float32),
+        jnp.asarray(np.asarray(centres), jnp.float32),
+        jnp.asarray(np.asarray(shifts), jnp.float32)))
+    if selected_mask is not None:
+        proba = np.where(selected_mask[None, :], proba, 0.0)
+    cost = -np.log(proba + MIN_SHAPE_PROB)
+    cost[np.isinf(cost)] = GC_REPLACE_INF
+    return cost
+
+
 def _hysteresis_update(i, points, labels, init_centres, centres, shifts,
                        volumes, swap_shift, thresholds, track_volume):
     """Shared centre/shift/volume hysteresis for one object
@@ -516,14 +542,21 @@ def compute_update_shape_costs_points_table_cdf(
     labels = np.asarray(labels)
     centres = [list(c) for c in centres]
     shifts = np.asarray(shifts, float)
+    changed_mask = []
     for i in range(len(centres)):
         changed, _ = _hysteresis_update(
             i, points, labels, init_centres, centres, shifts, volumes,
             swap_shift, thresholds, track_volume=False)
-        if not changed:
-            continue
-        lut_shape_cost[:, i + 1] = _eval_prior_costs(
-            points, cdf, centres[i], shifts[i], sel_mask)
+        changed_mask.append(changed)
+    if any(changed_mask):
+        # one dispatch for ALL objects (shared table), update changed columns
+        cdf_np = np.asarray(cdf, float)
+        costs = _eval_prior_costs_all(
+            points, np.broadcast_to(cdf_np, (len(centres),) + cdf_np.shape),
+            centres, shifts, sel_mask)
+        for i, ch in enumerate(changed_mask):
+            if ch:
+                lut_shape_cost[:, i + 1] = costs[i]
     lut_shape_cost[np.isinf(lut_shape_cost)] = GC_REPLACE_INF
     return lut_shape_cost, np.array(centres), np.array(shifts, float), volumes
 
@@ -550,20 +583,29 @@ def compute_update_shape_costs_points_close_mean_cdf(
     model, list_mean_cdf = shape_model_cdfs
     list_cdfs = [np.asarray(cdf) for _, cdf in list_mean_cdf]
     angle_step = 360 / len(list_cdfs[0])
+    max_shape = tuple(np.max([c.shape for c in list_cdfs], axis=0))
+    changed_mask, tables = [], []
     for i in range(len(centres)):
         rays, _ = compute_segm_object_shape(segm_obj == i + 1, angle_step,
                                             smooth_coef=0)
         changed, _ = _hysteresis_update(
             i, points, labels, init_centres, centres, shifts, volumes,
             swap_shift, thresholds, track_volume=True)
+        changed_mask.append(changed)
         if not changed:
+            tables.append(np.zeros(max_shape))
             continue
         weights = model.predict_proba([rays]).ravel()
-        cdist = np.zeros(np.max([c.shape for c in list_cdfs], axis=0))
+        cdist = np.zeros(max_shape)
         for j, cdf in enumerate(list_cdfs):
             cdist[:, :cdf.shape[1]] += weights[j] * cdf
-        lut_shape_cost[:, i + 1] = _eval_prior_costs(
-            points, cdist, centres[i], shifts[i], sel_mask)
+        tables.append(cdist)
+    if any(changed_mask):
+        costs = _eval_prior_costs_all(points, np.stack(tables), centres,
+                                      shifts, sel_mask)
+        for i, ch in enumerate(changed_mask):
+            if ch:
+                lut_shape_cost[:, i + 1] = costs[i]
     lut_shape_cost[np.isinf(lut_shape_cost)] = GC_REPLACE_INF
     return lut_shape_cost, np.array(centres), np.array(shifts, float), volumes
 

@@ -1,10 +1,8 @@
 """Stage-level attribution for BASELINE config 2 (supervised texture predict).
 
-Times each stage of ``segment_color2d_slic_features_model_graphcut`` with
-``{'color','tGabor','tLBP'}`` features on a drosophila_disc image, isolating:
-SLIC+enforce, background subtraction, Gabor bank conv, per-battery segment
-reductions, LBP codes+hists, classifier predict_proba, graphcut solve, and the
-host label gather.  Run on the real chip: ``python tools/profile_cfg2.py``.
+Times each stage of the fused supervised predict path with
+``{'color','tGabor','tLBP'}`` features on a drosophila_disc image.
+Run on the real chip: ``python tools/profile_cfg2.py``.
 """
 
 import os
@@ -24,21 +22,21 @@ DATA = os.environ.get('PYIMSEGM_DATA_PATH', '/root/reference/data-images')
 
 def timeit(fn, reps=5, warmup=2):
     for _ in range(warmup):
-        jax.block_until_ready(fn())
+        out = fn()
+        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = jax.block_until_ready(fn())
+        out = fn()
+        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
     return (time.perf_counter() - t0) / reps * 1e3, out
 
 
 def main():
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from bench import _enable_compile_cache
     _enable_compile_cache()
     from pyimsegm_tpu import descriptors, pipelines
     from pyimsegm_tpu.ops import filters as filter_ops
     from pyimsegm_tpu.ops import slic as slic_ops
-    from pyimsegm_tpu.ops import segment_stats
 
     img_np = np.asarray(Image.open(os.path.join(
         DATA, 'drosophila_disc', 'image', 'img_12.jpg')))
@@ -53,93 +51,86 @@ def main():
     # full jitted slic+features core
     ms, out = timeit(lambda: pipelines._slic_features_core(image, cfg, spec, m))
     labels, features, counts, centers = out
-    print('slic+features core (jit, full): %8.2f ms' % ms)
+    print('slic+features core (jit, full): %8.2f ms' % ms, flush=True)
 
-    # color-only core for comparison
     spec_c = pipelines._features_spec({'color': ('mean', 'std', 'energy')})
     ms, _ = timeit(lambda: pipelines._slic_features_core(image, cfg, spec_c, m))
-    print('slic+features core (color only): %6.2f ms' % ms)
+    print('slic+features core (color only): %6.2f ms' % ms, flush=True)
 
     img_f = jnp.asarray(image, jnp.float32)
     seg_ids = labels.ravel()
     k = cfg.n_segments
     grid_ctx = (labels, cfg)
 
-    # stage: background subtraction
     bg = jax.jit(lambda x: filter_ops.subtract_background(x, sigma=150.0))
     ms, img_bg = timeit(lambda: bg(img_f))
-    print('subtract_background:            %8.2f ms' % ms)
+    print('subtract_background:            %8.2f ms' % ms, flush=True)
 
-    # stage: gabor conv (bank response incl. battery norm epilogues)
     bank = descriptors._get_gabor_bank()
-    fr = jax.jit(lambda x: filter_ops.filter_bank_response(x, bank))
-    ms, responses = timeit(lambda: fr(img_bg))
-    print('gabor bank response (conv+norm):%8.2f ms   resp %s' % (ms, responses.shape))
+    fr = jax.jit(lambda x: filter_ops.filter_bank_raw(x, bank))
+    ms, raw = timeit(lambda: fr(img_bg))
+    print('gabor raw bank (conv+max):      %8.2f ms   resp %s'
+          % (ms, raw.shape), flush=True)
 
-    # stage: per-battery segment reductions (as the dispatcher does them)
-    def reduce_all():
-        outs = []
-        for bi in range(len(bank.names)):
-            outs.append(segment_stats.compute_channel_statistics(
-                responses[bi], seg_ids, k, ('mean', 'energy'), grid_ctx=grid_ctx))
-        return jnp.concatenate(outs, -1)
-    ms, _ = timeit(lambda: jax.jit(reduce_all)())
-    print('gabor per-battery reduce x%d:    %8.2f ms' % (len(bank.names), ms))
+    # bf16 conv probe
+    import functools
+    bank16 = bank._replace(kernels=bank.kernels)  # same kernels; cast inside
 
-    # stage: batched reduction (all batteries stacked into one reduce)
-    def reduce_batched():
-        stacked = jnp.moveaxis(responses, 0, -2).reshape(
-            responses.shape[1], responses.shape[2], -1)
-        return segment_stats.compute_channel_statistics(
-            stacked, seg_ids, k, ('mean', 'energy'), grid_ctx=grid_ctx)
-    ms, _ = timeit(lambda: jax.jit(reduce_batched)())
-    print('gabor batched reduce (1 pass):  %8.2f ms' % ms)
+    def conv16(x):
+        kk = jnp.asarray(bank.kernels[:, ::-1, ::-1], jnp.bfloat16)[:, None]
+        pad = bank.kernels.shape[1] // 2
+        xx = jnp.moveaxis(x, -1, 0)[:, None].astype(jnp.bfloat16)
+        xx = jnp.pad(xx, [(0, 0), (0, 0), (pad, pad), (pad, pad)],
+                     mode='symmetric')
+        return jax.lax.conv_general_dilated(
+            xx, kk, window_strides=(1, 1), padding='VALID',
+            dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
+            preferred_element_type=jnp.float32)
+    ms, _ = timeit(lambda: jax.jit(conv16)(img_bg))
+    print('gabor conv bf16 probe:          %8.2f ms' % ms, flush=True)
 
-    # stage: LBP
+    # batched texture stats (the new path, stats only, given raw labels)
+    tb = jax.jit(lambda im: descriptors._texture_battery_features(
+        im, seg_ids, k, ('mean', 'energy'), bank, 'tGabor',
+        grid_ctx=grid_ctx)[0])
+    ms, _ = timeit(lambda: tb(img_f))
+    print('gabor features total (new):     %8.2f ms' % ms, flush=True)
+
     lbp = jax.jit(lambda x: filter_ops.lbp_histogram_features(
         x, seg_ids, k, grid_ctx=grid_ctx)[0])
     ms, _ = timeit(lambda: lbp(img_f))
-    print('lbp hists:                      %8.2f ms' % ms)
+    print('lbp hists (new batched):        %8.2f ms' % ms, flush=True)
 
-    # classifier predict on host-ish path
+    # classifier + full fused predict
     from pyimsegm_tpu import classification
     feats_np = np.nan_to_num(np.asarray(features))
     y = np.random.default_rng(0).integers(0, 3, feats_np.shape[0])
     clf, _ = classification.create_classif_search_train_export(
         'RandForest', feats_np, y, nb_search_iter=1, cross_val=3, seed=0)
-    t0 = time.perf_counter()
-    for _ in range(5):
-        proba = clf.predict_proba(feats_np)
-    print('classif predict_proba:          %8.2f ms' % ((time.perf_counter() - t0) / 5 * 1e3))
 
-    # graphcut
-    from pyimsegm_tpu.ops import graphcut
-    probaj = jnp.asarray(proba, jnp.float32)
-    def gc():
-        return graphcut.segment_graph_cut_general(
-            labels, probaj, k, image=img_f, features=features,
-            gc_regul=5.0, edge_type='model', grid_ctx=grid_ctx, centers=centers)
-    ms, graph_labels = timeit(gc)
-    print('graphcut solve:                 %8.2f ms' % ms)
-
-    # host gather
-    t0 = time.perf_counter()
-    for _ in range(5):
-        labels_np = np.asarray(labels)
-        segm = np.asarray(graph_labels)[labels_np]
-        soft = proba[labels_np]
-    print('host fetch+gather:              %8.2f ms' % ((time.perf_counter() - t0) / 5 * 1e3))
-
-    # whole predict wall for reference
     def run():
         return pipelines.segment_color2d_slic_features_model_graphcut(
             img_np, clf, feats, sp_size=sp_size, sp_regul=sp_regul,
             gc_regul=5.0, gc_edge_type='model')[0]
     run()
+    reps = 5
     t0 = time.perf_counter()
-    for _ in range(3):
+    for _ in range(reps):
         run()
-    print('TOTAL predict wall:             %8.2f ms' % ((time.perf_counter() - t0) / 3 * 1e3))
+    wall = (time.perf_counter() - t0) / reps * 1e3
+    mpix = img_np.shape[0] * img_np.shape[1] / 1e6
+    print('TOTAL predict wall:             %8.2f ms  (%.2f MPix/s)'
+          % (wall, mpix / wall * 1e3), flush=True)
+
+    # device-only latency of the fused core (excl. host link)
+    clf_apply, clf_arrays = clf.device_predict_fn()
+    def run_dev():
+        return pipelines._segment_with_classif_core(
+            image, clf_arrays, clf_apply=clf_apply, cfg=cfg, feats_spec=spec,
+            gc_regul=5.0, gc_edge_type='model', compactness=m)
+    ms, _ = timeit(lambda: run_dev(), reps=5)
+    print('fused core device (incl sync):  %8.2f ms  (%.2f MPix/s)'
+          % (ms, mpix / ms * 1e3), flush=True)
 
 
 if __name__ == '__main__':
