@@ -259,24 +259,24 @@ def bench_rg2sp():
                                           relative_compact=0.2)
     prob_fg = rg.compute_segm_prob_fg(slic, seg, [0.1, 0.9, 0.75, 0.9, 0.9])
 
-    n_warm, n_meas = 2, 10
-
-    def run(nb_iter):
+    def run(nb_iter, history=None):
         return rg.region_growing_shape_slic_graphcut(
             slic, prob_fg, centres, (model, cdfs), 'cdf',
             coef_shape=5., coef_pairwise=15., prob_label_trans=[0.1, 0.03],
-            optim_global=True, nb_iter=nb_iter)
+            optim_global=True, nb_iter=nb_iter, debug_history=history)
 
-    run(n_warm)                                   # compile
+    run(2)                                        # compile
+    # the solver stops when labels converge; time a full run and divide by
+    # the actual iteration count from debug_history (same methodology as
+    # tools/refrun/time_reference.py)
+    history = {}
     t0 = time.perf_counter()
-    run(n_warm)
-    t_warm = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    run(n_warm + n_meas)
-    t_full = time.perf_counter() - t0
-    per_iter = (t_full - t_warm) / n_meas
-    _emit('cfg5_rg2sp_gc_per_iteration', per_iter * 1e3, 'ms/iteration',
-          {'objects': int(len(centres)), 'superpixels': int(slic.max() + 1)})
+    run(100, history)
+    dt = time.perf_counter() - t0
+    n_iters = max(len(history.get('labels', ())), 1)
+    _emit('cfg5_rg2sp_gc_per_iteration', dt / n_iters * 1e3, 'ms/iteration',
+          {'objects': int(len(centres)), 'superpixels': int(slic.max() + 1),
+           'iterations': int(n_iters), 'total_s': round(dt, 2)})
 
 
 def main():

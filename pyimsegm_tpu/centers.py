@@ -212,9 +212,104 @@ def cluster_center_candidates(points, max_dist=100, min_samples=1):
     return np.array(centers), labels
 
 
+def _detect_core_fn():
+    """Build the jitted one-program detection core lazily (keeps the module
+    importable without jax side effects at import time)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from pyimsegm_tpu.ops import slic as slic_ops
+    from pyimsegm_tpu.ops.grid import enforce_grid_connectivity
+    from pyimsegm_tpu.ops.histogram import label_hist_maps
+    from pyimsegm_tpu.ops.ray import (ray_features_positions_core,
+                                      shift_ray_features_batched)
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=('clf_apply', 'cfg', 'compactness', 'nb_labels',
+                         'diameters', 'angle_step', 'border_labels', 'thr',
+                         'eps', 'pos_idx'))
+    def _detect_core(img, segm, clf_arrays, *, clf_apply, cfg, compactness,
+                     nb_labels, diameters, angle_step, border_labels, thr,
+                     eps, pos_idx):
+        """SLIC candidates -> annuli hists + aligned rays -> classifier ->
+        threshold -> DBSCAN components, in ONE XLA program (the eager chain
+        paid a host<->device round-trip per stage,
+        `run_center_prediction.py:54-91` semantics throughout)."""
+        from pyimsegm_tpu.models.clustering import pairwise_dist2
+        from pyimsegm_tpu.pipelines import _grid_geometry
+
+        labels = slic_ops.slic_segment(img, cfg, compactness)
+        labels = enforce_grid_connectivity(
+            labels, cfg, min_size=int(0.5 * cfg.step * cfg.step))
+        counts, centers = _grid_geometry(labels, cfg)
+        p = cfg.n_segments
+        valid = counts > 0
+
+        h, w = segm.shape[:2]
+        # annuli label histograms gathered at the (truncated-int) centres
+        cmaps, smaps = label_hist_maps(segm, nb_labels, diameters)
+        pos_i = centers.astype(jnp.int32)
+        py = jnp.clip(pos_i[:, 0], 0, h - 1)
+        px = jnp.clip(pos_i[:, 1], 0, w - 1)
+        c_at = cmaps[:, :, py, px]                      # (n_diam, L, P)
+        s_at = smaps[:, py, px]                         # (n_diam, P)
+        feats = []
+        prev_c = jnp.zeros_like(c_at[0])
+        prev_s = jnp.zeros_like(s_at[0])
+        for i in range(len(diameters)):
+            ring = (c_at[i] - prev_c) / jnp.maximum(s_at[i] - prev_s,
+                                                    1.0)[None]
+            feats.append(ring.T)
+            prev_c, prev_s = c_at[i], s_at[i]
+        hists = jnp.concatenate(feats, axis=1)
+
+        seg_binary = jnp.zeros(segm.shape[:2], bool)
+        for lb in border_labels:
+            seg_binary = seg_binary | (segm == lb)
+        rays = ray_features_positions_core(seg_binary, centers,
+                                           angle_step=angle_step, edge='up')
+        rays, _shifts = shift_ray_features_batched(rays)
+
+        features = jnp.nan_to_num(
+            jnp.concatenate([hists, rays], axis=1))
+        proba = clf_apply(clf_arrays, features)
+        cand = (proba[:, pos_idx] >= thr) & valid
+
+        # DBSCAN with min_samples=1 == connected components of the eps-graph
+        # over candidates: iterated min-label propagation to a fixed point
+        d2 = pairwise_dist2(centers)
+        adj = (d2 <= eps * eps) & cand[:, None] & cand[None, :]
+        lab0 = jnp.where(cand, jnp.arange(p, dtype=jnp.int32), p)
+
+        def cond(state):
+            return state[1]
+
+        def body(state):
+            lab, _ = state
+            nl = jnp.min(jnp.where(adj, lab[None, :], p), axis=1)
+            nl = jnp.minimum(lab, nl)
+            return nl, jnp.any(nl != lab)
+
+        comp, _ = jax.lax.while_loop(cond, body, (lab0, jnp.bool_(True)))
+        return labels, centers, valid, cand, comp
+
+    return _detect_core
+
+
+_DETECT_CORE = None
+
+
 def load_compute_detect_centers(img, segm, classif, params=None):
     """One-image prediction chain: candidates -> classify -> cluster
     (`run_center_prediction.py:54-91`).
+
+    With a fitted :class:`~pyimsegm_tpu.classification.Classifier` and the
+    default single-ray-type feature recipe the whole chain runs as ONE
+    jitted program (see ``_detect_core_fn``); other configurations take the
+    stage-by-stage path.
 
     :returns: dict with slic, points, candidates, clustered centres
     """
@@ -222,6 +317,58 @@ def load_compute_detect_centers(img, segm, classif, params=None):
     merged.update(CLUSTER_PARAMS)
     merged.update(params or {})
     params = merged
+
+    ray_types = params.get('fts_ray_types', [('up', [0])])
+    fused_ok = (hasattr(classif, 'device_predict_fn')
+                and getattr(classif, '_params', None) is not None
+                and len(ray_types) == 1 and ray_types[0][0] == 'up'
+                and not params.get('fts_ray_smooth', 0)
+                and params.get('fts_hist_diams') is not None
+                and params.get('fts_ray_step') is not None
+                and 1 in list(np.asarray(classif.classes_)))
+    if fused_ok:
+        import jax.numpy as jnp
+
+        from pyimsegm_tpu.ops import slic as slic_ops
+
+        global _DETECT_CORE
+        if _DETECT_CORE is None:
+            _DETECT_CORE = _detect_core_fn()
+        segm = np.asarray(segm).astype(np.int32)
+        cfg = slic_ops.slic_config(img.shape[0], img.shape[1],
+                                   params['slic_size'])
+        m = slic_ops.compactness_from_regul(params['slic_size'],
+                                            params['slic_regul'])
+        clf_apply, clf_arrays = classif.device_predict_fn()
+        classes = list(np.asarray(classif.classes_))
+        labels, centers, valid, cand, comp = _DETECT_CORE(
+            jnp.asarray(img), jnp.asarray(segm), clf_arrays,
+            clf_apply=clf_apply, cfg=cfg, compactness=m,
+            nb_labels=int(segm.max()) + 1,
+            diameters=tuple(params['fts_hist_diams']),
+            angle_step=float(params['fts_ray_step']),
+            border_labels=tuple(ray_types[0][1]),
+            thr=float(params.get('detect_proba_thr', 0.5)),
+            eps=float(params['DBSCAN_max_dist']),
+            pos_idx=classes.index(1))
+        for arr in (labels, centers, valid, cand, comp):
+            arr.copy_to_host_async()
+        centers_np = np.asarray(centers)
+        valid_np = np.asarray(valid)
+        cand_np = np.asarray(cand)
+        comp_np = np.asarray(comp)
+        candidates = centers_np[cand_np]
+        comps = comp_np[cand_np]
+        uniq = np.unique(comps)
+        centres_out = np.array([centers_np[cand_np][comps == u].mean(axis=0)
+                                for u in uniq]) if len(uniq) else \
+            np.zeros((0, 2))
+        remap = {u: i for i, u in enumerate(uniq)}
+        clust_labels = np.array([remap[u] for u in comps], dtype=int)
+        return {'slic': np.asarray(labels), 'points': centers_np[valid_np],
+                'candidates': candidates, 'centers': centres_out,
+                'clust_labels': clust_labels}
+
     _, slic, points, features, _ = estim_points_compute_features(
         '', img, segm, params)
     candidates, labels = detect_center_candidates(

@@ -124,14 +124,21 @@ def filter_bank_raw(image, bank: FilterBank):
     n_f, support, _ = bank.kernels.shape
     # scipy.ndimage.convolve flips the kernel relative to correlation and uses
     # reflect-style padding; lax conv computes correlation, so pre-flip.
-    k = jnp.asarray(bank.kernels[:, ::-1, ::-1])[:, None]    # (F, 1, s, s)
     pad = support // 2
     x = jnp.moveaxis(image, -1, 0)[:, None]                  # (C, 1, H, W)
     # scipy's default boundary mode 'reflect' duplicates the edge sample,
     # which is numpy/jnp 'symmetric'
     x = jnp.pad(x, [(0, 0), (0, 0), (pad, pad), (pad, pad)], mode='symmetric')
+    # rows->channels: the direct C_in=1 33x33 conv leaves the MXU contraction
+    # degenerate (~2.5% peak); stacking the `support` vertical shifts as input
+    # channels turns it into a (C_in=s, kh=1, kw=s) conv with a real
+    # contraction — identical result (tools/conv_variants.py: 81 -> 65 ms,
+    # max rel err 5e-7 at drosophila_disc scale)
+    xs = jnp.stack([x[:, 0, dy:dy + h, :] for dy in range(support)], axis=1)
+    k = jnp.asarray(bank.kernels[:, ::-1, ::-1])             # (F, s, s)
     resp = jax.lax.conv_general_dilated(
-        x, k, window_strides=(1, 1), padding='VALID',
+        xs, k.reshape(n_f, support, 1, support),
+        window_strides=(1, 1), padding='VALID',
         dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
         preferred_element_type=jnp.float32)                  # (C, F, H, W)
 

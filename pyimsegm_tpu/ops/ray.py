@@ -145,6 +145,29 @@ def shift_ray_features(ray_dist, method='phase'):
     return np.concatenate([ray_dist[k:], ray_dist[:k]]), shift
 
 
+def shift_ray_features_batched(rays):
+    """Traceable batched FFT phase alignment (the jnp twin of
+    :func:`shift_ray_features` for all rays at once — used by the fused
+    centre-detection core so the per-ray host FFT loop disappears).
+
+    :param rays: (P, A) distances
+    :returns: (aligned (P, A), shifts (P,) degrees)
+    """
+    rays = jnp.asarray(rays, jnp.float32)
+    p, a = rays.shape
+    ext = jnp.tile(rays, (1, 5))
+    spec = jnp.fft.fft(ext - jnp.mean(ext, axis=1, keepdims=True),
+                       axis=1) / (5.0 * a)
+    mag = jnp.abs(spec)[:, :5 * a // 2]
+    idx = jnp.argmax(mag, axis=1)
+    ang = -jnp.angle(spec[jnp.arange(p), idx])
+    shift = jnp.rad2deg(ang)
+    shift = jnp.where(shift < 0, shift + 360.0, shift)
+    k = jnp.round(shift / (360.0 / a)).astype(jnp.int32) % a
+    col = (jnp.arange(a, dtype=jnp.int32)[None, :] + k[:, None]) % a
+    return jnp.take_along_axis(rays, col, axis=1), shift
+
+
 def compute_ray_features_positions(segm, list_positions, angle_step=5.0,
                                    border_labels=None, segm_open=None,
                                    smooth_ray=None, shifting=True, edge='up'):
