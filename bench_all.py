@@ -279,10 +279,65 @@ def bench_rg2sp():
            'iterations': int(n_iters), 'total_s': round(dt, 2)})
 
 
+def bench_gray3d():
+    """3D gray pipeline (`/root/reference/imsegm/pipelines.py:382-431`):
+    supervoxel kernel throughput + XLA-vs-Pallas parity at bench scale, and
+    the end-to-end unsupervised 3D pipe wall."""
+    import jax.numpy as jnp
+
+    from pyimsegm_tpu import pipelines
+    from pyimsegm_tpu.ops import slic3d
+    from pyimsegm_tpu.ops.slic import compactness_from_regul
+
+    rng = np.random.default_rng(0)
+    z, h, w = 48, 640, 768                           # 23.6 MVox
+    vol = (rng.random((z, h, w), dtype=np.float32) / 2.0)
+    vol[:, :, :w // 2] += 0.5
+    volj = jnp.asarray(vol)
+    cfg = slic3d.slic3d_config(vol.shape, 15, (4, 1, 1))
+    m = compactness_from_regul(15, 0.2)
+
+    def run_kernel(force):
+        os.environ['PYIMSEGM_SLIC3D_PALLAS'] = force
+        out = slic3d.slic3d_segment(volj, cfg, m)
+        return np.asarray(out)
+
+    lab_p = run_kernel('1')                          # compile pallas
+    t0 = time.perf_counter()
+    for _ in range(3):
+        lab_p = run_kernel('1')
+    dt_p = (time.perf_counter() - t0) / 3
+    lab_x = run_kernel('0')                          # compile xla
+    t0 = time.perf_counter()
+    lab_x = run_kernel('0')
+    dt_x = time.perf_counter() - t0
+    os.environ.pop('PYIMSEGM_SLIC3D_PALLAS', None)
+    agree = float(np.mean(lab_p == lab_x))
+    mvox = vol.size / 1e6
+    _emit('cfg6_slic3d_kernel', mvox / dt_p, 'MVox/s',
+          {'xla_mvox_s': round(mvox / dt_x, 2),
+           'pallas_vs_xla_agreement': round(agree, 5),
+           'shape': list(vol.shape)})
+
+    def run_pipe():
+        return pipelines.pipe_gray3d_slic_features_model_graphcut(
+            vol, 2, {'color': ['mean', 'std', 'energy']}, spacing=(4, 1, 1),
+            sp_size=15, sp_regul=0.2, gc_regul=0.1)
+
+    run_pipe()
+    t0 = time.perf_counter()
+    for _ in range(3):
+        run_pipe()
+    dt = (time.perf_counter() - t0) / 3
+    _emit('cfg6_gray3d_pipe', mvox / dt, 'MVox/s',
+          {'wall_ms': round(dt * 1e3, 2),
+           'note': 'end-to-end unsup 3D pipe incl. GMM fit + MRF'})
+
+
 def main():
     from bench import _enable_compile_cache
     _enable_compile_cache()
-    cfgs = '1,2,3,4,5'
+    cfgs = '1,2,3,4,5,6'
     for i, a in enumerate(sys.argv):
         if a == '--configs':
             cfgs = sys.argv[i + 1]
@@ -297,6 +352,8 @@ def main():
         bench_centers()
     if '5' in cfgs:
         bench_rg2sp()
+    if '6' in cfgs:
+        bench_gray3d()
 
 
 if __name__ == '__main__':

@@ -318,6 +318,45 @@ def enforce_grid_connectivity(labels, cfg: SlicConfig, min_size=None,
     return labels
 
 
+def enforce_minsize_with_moments(labels, cfg: SlicConfig, min_size, centers,
+                                 feat):
+    """Connectivity enforcement + min-size merge + geometry/moments reduce
+    with the minimum number of pixel-scale passes.
+
+    Semantically identical to ``enforce_grid_connectivity(..., min_size)``
+    followed by ``grid_geometry_moments``, but on TPU the donor application
+    and the re-reduce run as ONE fused launch
+    (:func:`pyimsegm_tpu.ops.grid_pallas.grid_moments_apply_pallas`), so the
+    post-enforcement block is enforce -> measure -> [apply+reduce] instead
+    of enforce -> measure -> apply -> reduce.
+
+    :param feat: (H, W, F) float feature image to reduce over the final
+        labels
+    :returns: (labels (H, W) i32, sums (K, 2F+3) f32)
+    """
+    from pyimsegm_tpu.ops.slic import _pallas_available
+    labels = enforce_grid_connectivity(labels, cfg, min_size=None,
+                                       centers=centers)
+    if not min_size:
+        return labels, grid_geometry_moments(feat, labels, cfg)
+    gh, gw = cfg.grid_h, cfg.grid_w
+    counts, sym25, counts9 = counts_and_contacts(labels, cfg)
+    donor = donor_chain_table(counts, sym25, gh, gw, min_size,
+                              counts9=counts9)
+    if _pallas_available():
+        from pyimsegm_tpu.ops.grid_pallas import grid_moments_apply_pallas
+        return grid_moments_apply_pallas(feat, labels, donor, cfg)
+    h, w = labels.shape
+    step = cfg.step
+    ty = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) // step
+    tx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) // step
+    new = grid_lookup(donor[:, None].astype(jnp.float32), labels,
+                      cfg)[..., 0].astype(jnp.int32)
+    ok = (jnp.abs(new // gw - ty) <= 1) & (jnp.abs(new % gw - tx) <= 1)
+    labels = jnp.where(ok, new, labels)
+    return labels, grid_geometry_moments(feat, labels, cfg)
+
+
 def donor_table_from_counts(counts, sym25, gh, gw, min_size):
     """Per-label merge targets for the min-size phase.
 

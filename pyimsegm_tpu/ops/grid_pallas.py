@@ -212,6 +212,123 @@ def grid_moments_pallas(feat, labels, cfg: SlicConfig):
     return _route_partials(partials, gh, gw, nch)
 
 
+def _moments_apply_kernel(feat_ref, labels_ref, donor_ref, sums_ref,
+                          merged_ref, *, cfg: SlicConfig, f: int):
+    """Min-size donor application fused with the geometry+moments reduce.
+
+    feat_ref (F, 1, step, wp), labels_ref (1, step, wp),
+    donor_ref (gh+2, 1, gw) f32 donor ids -> sums_ref (1, 9*(2F+3), gw)
+    partial sums over the MERGED labels + merged_ref (1, step, wp) i32.
+
+    Replaces the separate ``grid_lookup``-based donor apply pass of
+    ``min_size_merge`` (one fewer pixel-scale launch; the merged label plane
+    is written as a byproduct).  The window guard matches
+    ``min_size_merge`` exactly: a pixel whose donor seed falls outside its
+    own 3x3 tile window keeps its label.
+    """
+    step, gw, wp = cfg.step, cfg.grid_w, cfg.pad_w
+    i = pl.program_id(0)
+    labels = labels_ref[0]
+    off = _offset_code(labels, i, cfg)
+    sel_field = _sel_field(cfg)
+
+    # donor[labels] via the 3-row broadcast (donor ids < 2^24: exact in f32)
+    drows = donor_ref[pl.ds(i, 3)][:, 0]                 # (3, gw)
+    donor_px = jnp.full((step, wp), -1.0, jnp.float32)
+    for oi, (di, dj) in enumerate(_OFFSETS):
+        row = drows[di + 1]                              # (gw,)
+        if dj == -1:
+            row = jnp.concatenate([jnp.full((1,), -1.0, row.dtype),
+                                   row[:-1]])
+        elif dj == 1:
+            row = jnp.concatenate([row[1:],
+                                   jnp.full((1,), -1.0, row.dtype)])
+        field = jnp.dot(row[None, :], sel_field,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)  # (1, wp)
+        donor_px = jnp.where(off == oi, field, donor_px)
+    new = donor_px.astype(jnp.int32)
+    tile_x = jax.lax.broadcasted_iota(jnp.int32, (step, wp), 1) // step
+    ok = (new >= 0) & (jnp.abs(new // gw - i) <= 1) \
+        & (jnp.abs(new % gw - tile_x) <= 1)
+    merged = jnp.where(ok, new, labels)
+    merged_ref[0] = merged
+
+    off2 = _offset_code(merged, i, cfg)
+    gy = (jax.lax.broadcasted_iota(jnp.int32, (step, wp), 0)
+          + i * step).astype(jnp.float32)
+    gx = jax.lax.broadcasted_iota(
+        jnp.int32, (step, wp), 1).astype(jnp.float32)
+    nch = 2 * f + 3
+    sel_pool = _sel_pool(cfg)
+    for oi in range(9):
+        mask = (off2 == oi).astype(jnp.float32)
+        feats = [feat_ref[ci, 0].astype(jnp.float32) for ci in range(f)]
+        rows = ([jnp.sum(d * mask, axis=0, keepdims=True) for d in feats]
+                + [jnp.sum(d * d * mask, axis=0, keepdims=True)
+                   for d in feats]
+                + [jnp.sum(mask, axis=0, keepdims=True),
+                   jnp.sum(gy * mask, axis=0, keepdims=True),
+                   jnp.sum(gx * mask, axis=0, keepdims=True)])
+        cols = jnp.concatenate(rows, axis=0)             # (2F+3, wp)
+        sums_ref[0, oi * nch:(oi + 1) * nch, :] = jnp.dot(
+            cols, sel_pool, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.jit, static_argnames=('cfg',))
+def grid_moments_apply_pallas(feat, labels, donor, cfg: SlicConfig):
+    """Apply a min-size donor table and reduce geometry+moments in ONE
+    launch.
+
+    :param feat: (H, W, F) float feature image
+    :param labels: (H, W) int32 enforced (pre-merge) labels
+    :param donor: (K,) int32 fully-resolved merge targets
+        (:func:`pyimsegm_tpu.ops.grid.donor_chain_table`)
+    :returns: (merged labels (H, W) i32, sums (K, 2F+3) f32 over the merged
+        labels — [sum feat, sum feat^2, count, sum y, sum x])
+    """
+    gh, gw, step = cfg.grid_h, cfg.grid_w, cfg.step
+    f = feat.shape[-1]
+    nch = 2 * f + 3
+    ph, pw = cfg.pad_h - feat.shape[0], cfg.pad_w - feat.shape[1]
+    feat_p = jnp.pad(feat.astype(jnp.float32), [(0, ph), (0, pw), (0, 0)])
+    labels_p = jnp.pad(labels, [(0, ph), (0, pw)], constant_values=-2)
+    feat_f = jnp.transpose(feat_p, (2, 0, 1))
+    dgrid = donor.astype(jnp.float32).reshape(gh, 1, gw)
+    sentinel = jnp.full((1, 1, gw), -1.0, jnp.float32)
+    donor_pad = jnp.concatenate([sentinel, dgrid, sentinel], axis=0)
+
+    sums, merged = pl.pallas_call(
+        functools.partial(_moments_apply_kernel, cfg=cfg, f=f),
+        grid=(gh,),
+        in_specs=[
+            pl.BlockSpec((f, 1, step, cfg.pad_w), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, step, cfg.pad_w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gh + 2, 1, gw), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 9 * nch, gw), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, step, cfg.pad_w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((gh, 9 * nch, gw), jnp.float32),
+            jax.ShapeDtypeStruct((gh, step, cfg.pad_w), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_REDUCE),
+    )(feat_f.reshape(f, gh, step, cfg.pad_w),
+      labels_p.reshape(gh, step, cfg.pad_w), donor_pad)
+
+    merged2d = merged.reshape(cfg.pad_h, cfg.pad_w)[:cfg.height, :cfg.width]
+    return merged2d, _route_partials(sums, gh, gw, nch)
+
+
 def _lookup_kernel(labels_ref, table_ref, out_ref, *, cfg: SlicConfig,
                    c: int):
     """labels_ref (1, step, wp), table_ref (gh+2, C, gw) ->

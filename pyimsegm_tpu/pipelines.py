@@ -78,10 +78,9 @@ def _slic_features_core(image, cfg, feats_spec, compactness,
             labels, _cnt_raw, cent_raw, _ms_raw = \
                 slic_ops.slic_segment_with_features(
                     image, feat_img, cfg, compactness, n_iter=n_iter)
-            labels = grid_ops.enforce_grid_connectivity(
-                labels, cfg, min_size=int(0.5 * cfg.step * cfg.step),
-                centers=cent_raw)
-            sums = grid_ops.grid_geometry_moments(feat_img, labels, cfg)
+            labels, sums = grid_ops.enforce_minsize_with_moments(
+                labels, cfg, int(0.5 * cfg.step * cfg.step), cent_raw,
+                feat_img)
             counts = sums[:, 6]
             safe = jnp.maximum(counts[:, None], 1.0)
             centers = sums[:, 7:9] / safe

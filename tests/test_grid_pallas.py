@@ -197,3 +197,45 @@ def test_slic_slico_pallas_matches_xla_on_tpu():
                                          slico=True))
     lb = np.asarray(_slic_segment_xla(jnp.asarray(img), cfg, m, slico=True))
     assert (la == lb).mean() > 0.99
+
+
+def test_moments_apply_matches_separate_passes(scene):
+    """Fused donor-apply + moments kernel vs the separate grid_lookup apply
+    followed by grid_geometry_moments (min-size merge semantics)."""
+    import jax.numpy as jnp
+    from pyimsegm_tpu.ops import grid as grid_ops
+    from pyimsegm_tpu.ops.grid_pallas import grid_moments_apply_pallas
+
+    cfg, img, labels = scene
+    labels = grid_ops.enforce_grid_connectivity(labels, cfg)
+    min_size = int(0.5 * cfg.step * cfg.step)
+    counts, sym25, counts9 = grid_ops.counts_and_contacts(labels, cfg)
+    donor = grid_ops.donor_chain_table(counts, sym25, cfg.grid_h, cfg.grid_w,
+                                       min_size, counts9=counts9)
+
+    merged_ref = grid_ops.min_size_merge(labels, cfg, min_size)
+    sums_ref = np.asarray(grid_ops.grid_geometry_moments(img, merged_ref,
+                                                         cfg))
+    merged, sums = grid_moments_apply_pallas(jnp.asarray(img, jnp.float32),
+                                             labels, donor, cfg)
+    assert np.array_equal(np.asarray(merged), np.asarray(merged_ref))
+    assert np.allclose(np.asarray(sums), sums_ref, rtol=1e-4, atol=1e-2)
+
+
+def test_enforce_minsize_with_moments_matches_composition(scene):
+    """The orchestration helper must equal enforce(min_size) + moments."""
+    import jax.numpy as jnp
+    from pyimsegm_tpu.ops import grid as grid_ops
+    from pyimsegm_tpu.ops import slic as slic_ops
+
+    cfg, img, _ = scene
+    m = slic_ops.compactness_from_regul(25, 0.2)
+    raw = slic_ops.slic_segment(img, cfg, m)
+    min_size = int(0.5 * cfg.step * cfg.step)
+    lab_ref = grid_ops.enforce_grid_connectivity(raw, cfg, min_size=min_size)
+    sums_ref = np.asarray(grid_ops.grid_geometry_moments(
+        jnp.asarray(img, jnp.float32), lab_ref, cfg))
+    lab, sums = grid_ops.enforce_minsize_with_moments(
+        raw, cfg, min_size, None, jnp.asarray(img, jnp.float32))
+    assert np.array_equal(np.asarray(lab), np.asarray(lab_ref))
+    assert np.allclose(np.asarray(sums), sums_ref, rtol=1e-4, atol=1e-2)
