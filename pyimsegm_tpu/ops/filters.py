@@ -129,16 +129,15 @@ def filter_bank_raw(image, bank: FilterBank):
     # scipy's default boundary mode 'reflect' duplicates the edge sample,
     # which is numpy/jnp 'symmetric'
     x = jnp.pad(x, [(0, 0), (0, 0), (pad, pad), (pad, pad)], mode='symmetric')
-    # rows->channels: the direct C_in=1 33x33 conv leaves the MXU contraction
-    # degenerate (~2.5% peak); stacking the `support` vertical shifts as input
-    # channels turns it into a (C_in=s, kh=1, kw=s) conv with a real
-    # contraction — identical result (tools/conv_variants.py: 81 -> 65 ms,
-    # max rel err 5e-7 at drosophila_disc scale)
-    xs = jnp.stack([x[:, 0, dy:dy + h, :] for dy in range(support)], axis=1)
-    k = jnp.asarray(bank.kernels[:, ::-1, ::-1])             # (F, s, s)
+    # direct conv: a rows->channels reformulation (stack the `support`
+    # vertical shifts as input channels) measures ~20% faster in isolation
+    # (tools/conv_variants.py) but the 33-slice stack makes XLA's layout
+    # assignment explode to 170x-padded per-slice copies in some surrounding
+    # programs (observed: 36 GB HBM at compile on the standalone texture
+    # feature jit) — the direct form is robust in every context
+    k = jnp.asarray(bank.kernels[:, ::-1, ::-1])[:, None]    # (F, 1, s, s)
     resp = jax.lax.conv_general_dilated(
-        xs, k.reshape(n_f, support, 1, support),
-        window_strides=(1, 1), padding='VALID',
+        x, k, window_strides=(1, 1), padding='VALID',
         dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
         preferred_element_type=jnp.float32)                  # (C, F, H, W)
 
