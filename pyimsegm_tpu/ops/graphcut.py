@@ -264,7 +264,8 @@ def solve_mrf(unary, edges, weights, pairwise, n_mf_iters=30, n_icm_iters=12,
 
 def segment_graph_cut_general(labels, proba, num_segments, image=None,
                               features=None, gc_regul=1.0, edge_type='model',
-                              edge_cost=1.0, grid_ctx=None, centers=None):
+                              edge_cost=1.0, grid_ctx=None, centers=None,
+                              grid_ctx3d=None):
     """End-to-end MRF stage matching `graph_cuts.py:660-747`.
 
     :param labels: (H, W) superpixel map (device array)
@@ -301,6 +302,15 @@ def segment_graph_cut_general(labels, proba, num_segments, image=None,
         labels, num_segments, image=image, features=features, proba=proba,
         edge_type=edge_type)
     weights = weights * edge_cost
+    if grid_ctx3d is not None:
+        # grid-structured supervoxels: solve on the dense 125-neighbour
+        # structure (the edge-list solver's per-iteration scatters cost ~6 s
+        # at 23.6 MVox bench scale, tools/profile_cfg6.py)
+        from pyimsegm_tpu.ops import slic3d as slic3d_ops
+        _labels3d, cfg3 = grid_ctx3d
+        wgrid = slic3d_ops.wgrid3d_from_edges(edges, valid, weights, cfg3)
+        return slic3d_ops.solve_mrf_grid3d(
+            unary, wgrid, jnp.asarray(pairwise, jnp.float32), cfg3)
     return solve_mrf(unary, edges, weights, jnp.asarray(pairwise, jnp.float32))
 
 

@@ -87,13 +87,37 @@ def _prep3d(volume, cfg: Slic3DConfig):
     return vol_p, valid, centers0, sw
 
 
-def _use_pallas_3d() -> bool:
+#: scoped-VMEM budget for the 3D pass kernel's (sz*sy, wp) slab + candidate
+#: broadcast temporaries (validated at the 48x640x768 bench scale:
+#: pallas-vs-XLA agreement 0.996, 2.7x throughput — BENCH/QUALITY round 5)
+_VMEM_3D = 64 * 1024 * 1024
+_PLANES_3D = 24
+
+
+def _pallas3d_fits(cfg) -> bool:
+    """Size guard: a (sz*sy, pad_w) f32 slab with ~``_PLANES_3D`` live
+    temporaries plus the (gz+2, gy+2, 6, gx) candidate table must fit the
+    scoped-VMEM budget (mirrors the 2D kernels' band_fits guard)."""
+    sz, sy, _sx = cfg.steps
+    gz, gy, gx = cfg.grid
+    slab = sz * sy * cfg.pad[2] * 4
+    table = (gz + 2) * (gy + 2) * 8 * gx * 4
+    return _PLANES_3D * slab + table < _VMEM_3D
+
+
+def _use_pallas_3d(cfg=None) -> bool:
     import os
     from pyimsegm_tpu.ops.slic import _pallas_available
-    # opt-in until the kernel is validated on a live chip
-    # (PYIMSEGM_SLIC3D_PALLAS=1)
-    return (_pallas_available()
-            and os.environ.get('PYIMSEGM_SLIC3D_PALLAS', '0') == '1')
+    # default ON (validated at bench scale, see QUALITY.md round 5);
+    # PYIMSEGM_SLIC3D_PALLAS=0 forces the XLA path, =1 forces the kernel
+    flag = os.environ.get('PYIMSEGM_SLIC3D_PALLAS', 'auto')
+    if flag == '0':
+        return False
+    if not _pallas_available():
+        return False
+    if flag == '1':
+        return True
+    return cfg is None or _pallas3d_fits(cfg)
 
 
 def slic3d_segment(volume, cfg: Slic3DConfig, compactness, n_iter=10):
@@ -103,7 +127,7 @@ def slic3d_segment(volume, cfg: Slic3DConfig, compactness, n_iter=10):
     outside any jit trace, so each backend owns its own jit cache and
     flipping ``PYIMSEGM_SLIC3D_PALLAS`` between calls takes effect.
     """
-    if _use_pallas_3d():
+    if _use_pallas_3d(cfg):
         return _slic3d_segment_pallas(volume, cfg, compactness, n_iter)
     return _slic3d_segment_xla(volume, cfg, compactness, n_iter)
 
@@ -257,6 +281,169 @@ def grid3d_segment_sum(data, labels, cfg: Slic3DConfig):
             .sum(axis=(1, 3, 5))
         sums = sums + _shift3(part, a, b, c)
     return sums.reshape(gz * gy * gx, f)
+
+
+@functools.partial(jax.jit, static_argnames=('cfg',))
+def grid3d_lookup(table, labels, cfg: Slic3DConfig):
+    """Per-voxel ``table[labels]`` without a gather: 27 shifted grid
+    broadcasts selected by the voxel's offset code (the 3D analog of
+    ``ops.grid.grid_lookup``; a plain 23.6M-row gather measured ~200 ms at
+    bench scale, this runs as fused elementwise selects).
+
+    :param table: (K,) or (K, C)
+    :param labels: (Z, H, W) int32 grid-structured supervoxel labels
+    :returns: (Z, H, W) or (Z, H, W, C), dtype of ``table``
+    """
+    squeeze = table.ndim == 1
+    if squeeze:
+        table = table[:, None]
+    c = table.shape[-1]
+    gz, gy, gx = cfg.grid
+    sz, sy, sx = cfg.steps
+    z, h, w = cfg.shape
+    pz, py, px = (cfg.pad[0] - z, cfg.pad[1] - h, cfg.pad[2] - w)
+    labels_p = jnp.pad(labels, [(0, pz), (0, py), (0, px)],
+                       constant_values=-2)
+    dp, hp, wp = cfg.pad
+
+    lz = labels_p // (gy * gx)
+    rem = labels_p - lz * (gy * gx)
+    ly = rem // gx
+    lx = rem - ly * gx
+    tz = jax.lax.broadcasted_iota(jnp.int32, (dp, hp, wp), 0) // sz
+    ty = jax.lax.broadcasted_iota(jnp.int32, (dp, hp, wp), 1) // sy
+    tx = jax.lax.broadcasted_iota(jnp.int32, (dp, hp, wp), 2) // sx
+    dz, dy, dx = lz - tz + 1, ly - ty + 1, lx - tx + 1
+    ok = ((labels_p >= 0) & (dz >= 0) & (dz < 3) & (dy >= 0) & (dy < 3)
+          & (dx >= 0) & (dx < 3))
+    off = jnp.where(ok, dz * 9 + dy * 3 + dx, -1)
+
+    tgrid = table.astype(jnp.float32).reshape(gz, gy, gx, c)
+    out = jnp.zeros((dp, hp, wp, c), jnp.float32)
+    for oi, (a, b, d) in enumerate(
+            [(a, b, d) for a in (-1, 0, 1) for b in (-1, 0, 1)
+             for d in (-1, 0, 1)]):
+        pad = [(max(-a, 0), max(a, 0)), (max(-b, 0), max(b, 0)),
+               (max(-d, 0), max(d, 0)), (0, 0)]
+        src = jnp.pad(tgrid, pad)[max(a, 0):max(a, 0) + gz,
+                                  max(b, 0):max(b, 0) + gy,
+                                  max(d, 0):max(d, 0) + gx]
+        up = jnp.broadcast_to(
+            src[:, None, :, None, :, None, :],
+            (gz, sz, gy, sy, gx, sx, c)).reshape(dp, hp, wp, c)
+        out = jnp.where((off == oi)[..., None], up, out)
+    out = out[:z, :h, :w].astype(table.dtype)
+    return out[..., 0] if squeeze else out
+
+
+def _neighbor_msg3d(qp, wgrid):
+    """Accumulate 125-neighbourhood messages at grid scale.
+
+    :param qp: (gz, gy, gx, C) per-cell class field
+    :param wgrid: (gz, gy, gx, 125) edge weights (0 where no edge)
+    :returns: (gz, gy, gx, C) sum over neighbours of w * qp[neighbour]
+    """
+    gz, gy, gx, c = qp.shape
+    out = jnp.zeros_like(qp)
+    ci = 0
+    for dz in (-2, -1, 0, 1, 2):
+        for dy in (-2, -1, 0, 1, 2):
+            for dx in (-2, -1, 0, 1, 2):
+                pad = [(max(-dz, 0), max(dz, 0)), (max(-dy, 0), max(dy, 0)),
+                       (max(-dx, 0), max(dx, 0)), (0, 0)]
+                nb = jnp.pad(qp, pad)[max(dz, 0):max(dz, 0) + gz,
+                                      max(dy, 0):max(dy, 0) + gy,
+                                      max(dx, 0):max(dx, 0) + gx]
+                out = out + wgrid[..., ci:ci + 1] * nb
+                ci += 1
+    return out
+
+
+def wgrid3d_from_edges(edges, valid, weights, cfg: Slic3DConfig):
+    """(gz, gy, gx, 125) symmetric edge-weight tensor from an edge list.
+
+    One small scatter (E valid edges, both directions); supervoxel cells
+    always lie within +-2 of each other (the 3x3x3 assignment window), so
+    the 5^3 channel space is exact.
+    """
+    gz, gy, gx = cfg.grid
+    k = cfg.n_segments
+    a, b = edges[:, 0], edges[:, 1]
+
+    def cell(i):
+        z = i // (gy * gx)
+        r = i - z * (gy * gx)
+        return z, r // gx, r - (r // gx) * gx
+
+    az, ay, ax = cell(a)
+    bz, by, bx = cell(b)
+
+    def chan(d0, d1, d2):
+        return ((d0 + 2) * 5 + (d1 + 2)) * 5 + (d2 + 2)
+
+    w = jnp.where(valid, weights.astype(jnp.float32), 0.0)
+    wg = jnp.zeros((k, 125), jnp.float32)
+    wg = wg.at[a, chan(bz - az, by - ay, bx - ax)].add(w)
+    wg = wg.at[b, chan(az - bz, ay - by, ax - bx)].add(w)
+    return wg.reshape(gz, gy, gx, 125)
+
+
+def grid3d_mrf_energy(labels_g, ug, wgrid, pairwise):
+    """MRF energy of a per-cell labelling on the 125-neighbour structure
+    (each undirected edge counted twice -> halve the pairwise term)."""
+    c = ug.shape[-1]
+    onehot = jax.nn.one_hot(labels_g, c, dtype=jnp.float32)
+    unary = jnp.sum(jnp.take_along_axis(ug, labels_g[..., None], -1))
+    pw = jnp.sum(onehot * _neighbor_msg3d(onehot @ pairwise.T, wgrid))
+    return unary + 0.5 * pw
+
+
+@functools.partial(jax.jit, static_argnames=('cfg', 'n_mf_iters',
+                                             'n_icm_iters'))
+def solve_mrf_grid3d(unary, wgrid, pairwise, cfg: Slic3DConfig,
+                     n_mf_iters=30, n_icm_iters=12, damping=0.5):
+    """Dense mean-field + ICM on the 125-neighbour supervoxel grid graph —
+    the 3D analog of ``ops.grid.solve_mrf_grid``; replaces the edge-list
+    ``solve_mrf`` whose per-iteration segment-sum scatters cost ~6 s at
+    bench scale (tools/profile_cfg6.py).
+
+    :param unary: (K, C)
+    :param wgrid: (gz, gy, gx, 125)
+    :returns: (K,) int32 labels
+    """
+    gz, gy, gx = cfg.grid
+    c = unary.shape[-1]
+    ug = unary.reshape(gz, gy, gx, c).astype(jnp.float32)
+    pairwise = jnp.asarray(pairwise, jnp.float32)
+
+    def message(q):
+        with jax.default_matmul_precision('highest'):
+            return _neighbor_msg3d(q @ pairwise.T, wgrid)
+
+    q0 = jax.nn.softmax(-ug, axis=-1)
+
+    def mf_step(_, q):
+        q_new = jax.nn.softmax(-(ug + message(q)), axis=-1)
+        return damping * q_new + (1.0 - damping) * q
+
+    q = jax.lax.fori_loop(0, n_mf_iters, mf_step, q0)
+    labels = jnp.argmin(ug + message(q), axis=-1).astype(jnp.int32)
+
+    def icm_step(_, carry):
+        labels, best_labels, best_e = carry
+        onehot = jax.nn.one_hot(labels, c, dtype=jnp.float32)
+        new_labels = jnp.argmin(ug + message(onehot),
+                                axis=-1).astype(jnp.int32)
+        e = grid3d_mrf_energy(new_labels, ug, wgrid, pairwise)
+        improved = e < best_e
+        best_labels = jnp.where(improved, new_labels, best_labels)
+        best_e = jnp.where(improved, e, best_e)
+        return new_labels, best_labels, best_e
+
+    e0 = grid3d_mrf_energy(labels, ug, wgrid, pairwise)
+    _, best_labels, _ = jax.lax.fori_loop(
+        0, n_icm_iters, icm_step, (labels, labels, e0))
+    return best_labels.reshape(-1)
 
 
 def segment_slic_img3d_gray(volume, sp_size=50, relative_compact=0.1,

@@ -512,11 +512,14 @@ def pipe_gray3d_slic_features_model_graphcut(image, nb_classes, dict_features,
     labels = slic3d.slic3d_segment(image, cfg, m)
     k = cfg.n_segments
     seg_ids = labels.ravel()
-    counts = jax.ops.segment_sum(jnp.ones_like(seg_ids, jnp.float32), seg_ids,
-                                 num_segments=k)
+    # scatter-free 27-offset reductions throughout (the plain segment_sum
+    # scatter measured ~800 ms for counts alone at 23.6 MVox,
+    # tools/profile_cfg6.py)
+    counts = slic3d.grid3d_segment_sum(
+        jnp.ones(labels.shape + (1,), jnp.float32), labels, cfg)[:, 0]
     mask = (counts > 0).astype(jnp.float32)
     features, _names = descriptors.compute_selected_features_gray3d(
-        image, seg_ids, k, dict_features)
+        image, seg_ids, k, dict_features, grid_ctx3d=(labels, cfg))
     # reference normalises features for the 3D pipe (`pipelines.py:420-422`)
     mu = jnp.sum(features * mask[:, None], 0) / jnp.maximum(jnp.sum(mask), 1.0)
     sd = jnp.sqrt(jnp.sum(((features - mu) ** 2) * mask[:, None], 0)
@@ -527,8 +530,10 @@ def pipe_gray3d_slic_features_model_graphcut(image, nb_classes, dict_features,
     proba = model.predict_proba(features)
     graph_labels = graphcut.segment_graph_cut_general(
         labels, proba, k, image=image, features=features,
-        gc_regul=float(gc_regul), edge_type='model')
-    return np.asarray(graph_labels[labels])
+        gc_regul=float(gc_regul), edge_type='model',
+        grid_ctx3d=(labels, cfg))
+    return np.asarray(slic3d.grid3d_lookup(
+        graph_labels.astype(jnp.int32), labels, cfg)).astype(np.int64)
 
 
 def wrapper_compute_color2d_slic_features_labels(img_annot, sp_size, sp_regul,
