@@ -257,13 +257,16 @@ def bench_rg2sp():
     model, cdfs = rg.transform_rays_model_cdf_mixture(list_rays)
     slic = superpixels.segment_slic_img2d(img, sp_size=15,
                                           relative_compact=0.2)
+    from pyimsegm_tpu.ops.slic import slic_config
+    grid_cfg = slic_config(img.shape[0], img.shape[1], 15)
     prob_fg = rg.compute_segm_prob_fg(slic, seg, [0.1, 0.9, 0.75, 0.9, 0.9])
 
     def run(nb_iter, history=None):
         return rg.region_growing_shape_slic_graphcut(
             slic, prob_fg, centres, (model, cdfs), 'cdf',
             coef_shape=5., coef_pairwise=15., prob_label_trans=[0.1, 0.03],
-            optim_global=True, nb_iter=nb_iter, debug_history=history)
+            optim_global=True, nb_iter=nb_iter, debug_history=history,
+            grid_cfg=grid_cfg)
 
     run(2)                                        # compile
     # the solver stops when labels converge; time a full run and divide by

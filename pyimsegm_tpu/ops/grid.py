@@ -921,6 +921,31 @@ def grid_mrf_energy(label_grid, unary_grid, wgrid, pairwise):
     return u + 0.5 * jnp.sum(wgrid * pair)
 
 
+def wgrid_from_edges(edges, valid, weights, cfg: SlicConfig):
+    """(gh, gw, 25) symmetric edge-weight tensor from an edge list.
+
+    One small scatter (both directions per valid edge); grid-structured
+    superpixels are only ever adjacent within +-2 grid cells, so the 5x5
+    channel space is exact.  Lets callers with custom edge weights (e.g.
+    RG2Sp's inverse spatial distances, `region_growing.py`) ride
+    :func:`solve_mrf_grid`'s scatter-free message passing.
+    """
+    gh, gw = cfg.grid_h, cfg.grid_w
+    k = gh * gw
+    a, b = edges[:, 0], edges[:, 1]
+    ay, ax = a // gw, a % gw
+    by, bx = b // gw, b % gw
+
+    def chan(dy, dx):
+        return (jnp.clip(dy, -2, 2) + 2) * 5 + (jnp.clip(dx, -2, 2) + 2)
+
+    w = jnp.where(valid, jnp.asarray(weights, jnp.float32), 0.0)
+    wg = jnp.zeros((k, 25), jnp.float32)
+    wg = wg.at[a, chan(by - ay, bx - ax)].add(w)
+    wg = wg.at[b, chan(ay - by, ax - bx)].add(w)
+    return wg.reshape(gh, gw, 25)
+
+
 def solve_mrf_grid(unary, wgrid, pairwise, cfg: SlicConfig, n_mf_iters=30,
                    n_icm_iters=12, damping=0.5):
     """Dense mean-field + ICM on the 25-neighbor grid graph; scatter-free

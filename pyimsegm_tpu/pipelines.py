@@ -495,6 +495,42 @@ def train_classif_color2d_slic_features(list_images, list_annots, dict_features,
     return classif, list_slic, list_features, list_labels
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=('cfg', 'feats_spec', 'nb_classes', 'estim_model',
+                     'gc_regul', 'seed'))
+def _pipe_gray3d_core(image, *, cfg, feats_spec, nb_classes, estim_model,
+                      gc_regul, compactness, seed=0):
+    """One XLA program for the whole 3D pipe: supervoxels -> scatter-free
+    reductions -> model fit -> grid MRF -> lookup upsample (the eager stage
+    composition paid a host sync per stage; the plain segment_sum/gather
+    formulations cost ~800/195 ms each at 23.6 MVox, tools/profile_cfg6.py).
+    """
+    from pyimsegm_tpu.ops import slic3d
+
+    k = cfg.n_segments
+    labels = slic3d.slic3d_segment(image, cfg, compactness)
+    seg_ids = labels.ravel()
+    counts = slic3d.grid3d_segment_sum(
+        jnp.ones(labels.shape + (1,), jnp.float32), labels, cfg)[:, 0]
+    mask = (counts > 0).astype(jnp.float32)
+    features, _names = descriptors.compute_selected_features_gray3d(
+        image, seg_ids, k, dict(feats_spec), grid_ctx3d=(labels, cfg))
+    # reference normalises features for the 3D pipe (`pipelines.py:420-422`)
+    mu = jnp.sum(features * mask[:, None], 0) / jnp.maximum(jnp.sum(mask), 1.0)
+    sd = jnp.sqrt(jnp.sum(((features - mu) ** 2) * mask[:, None], 0)
+                  / jnp.maximum(jnp.sum(mask), 1.0))
+    features = (features - mu) / jnp.maximum(sd, 1e-12)
+    model = estim_class_model(features, nb_classes, estim_model,
+                              sample_weight=mask, seed=seed)
+    proba = model.predict_proba(features)
+    graph_labels = graphcut.segment_graph_cut_general(
+        labels, proba, k, image=image, features=features,
+        gc_regul=float(gc_regul), edge_type='model',
+        grid_ctx3d=(labels, cfg))
+    return slic3d.grid3d_lookup(graph_labels.astype(jnp.int32), labels, cfg)
+
+
 def pipe_gray3d_slic_features_model_graphcut(image, nb_classes, dict_features,
                                              spacing=(12, 1, 1), sp_size=15,
                                              sp_regul=0.2, gc_regul=0.1,
@@ -509,31 +545,11 @@ def pipe_gray3d_slic_features_model_graphcut(image, nb_classes, dict_features,
     image = jnp.asarray(image, jnp.float32)
     cfg = slic3d.slic3d_config(image.shape, sp_size, spacing)
     m = slic_ops.compactness_from_regul(sp_size, sp_regul)
-    labels = slic3d.slic3d_segment(image, cfg, m)
-    k = cfg.n_segments
-    seg_ids = labels.ravel()
-    # scatter-free 27-offset reductions throughout (the plain segment_sum
-    # scatter measured ~800 ms for counts alone at 23.6 MVox,
-    # tools/profile_cfg6.py)
-    counts = slic3d.grid3d_segment_sum(
-        jnp.ones(labels.shape + (1,), jnp.float32), labels, cfg)[:, 0]
-    mask = (counts > 0).astype(jnp.float32)
-    features, _names = descriptors.compute_selected_features_gray3d(
-        image, seg_ids, k, dict_features, grid_ctx3d=(labels, cfg))
-    # reference normalises features for the 3D pipe (`pipelines.py:420-422`)
-    mu = jnp.sum(features * mask[:, None], 0) / jnp.maximum(jnp.sum(mask), 1.0)
-    sd = jnp.sqrt(jnp.sum(((features - mu) ** 2) * mask[:, None], 0)
-                  / jnp.maximum(jnp.sum(mask), 1.0))
-    features = (features - mu) / jnp.maximum(sd, 1e-12)
-    model = estim_class_model(features, nb_classes, estim_model,
-                              sample_weight=mask, seed=seed)
-    proba = model.predict_proba(features)
-    graph_labels = graphcut.segment_graph_cut_general(
-        labels, proba, k, image=image, features=features,
-        gc_regul=float(gc_regul), edge_type='model',
-        grid_ctx3d=(labels, cfg))
-    return np.asarray(slic3d.grid3d_lookup(
-        graph_labels.astype(jnp.int32), labels, cfg)).astype(np.int64)
+    segm = _pipe_gray3d_core(
+        image, cfg=cfg, feats_spec=_features_spec(dict_features),
+        nb_classes=nb_classes, estim_model=estim_model,
+        gc_regul=float(gc_regul), compactness=m, seed=seed)
+    return np.asarray(segm).astype(np.int64)
 
 
 def wrapper_compute_color2d_slic_features_labels(img_annot, sp_size, sp_regul,

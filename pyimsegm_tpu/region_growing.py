@@ -788,11 +788,17 @@ def region_growing_shape_slic_graphcut(
         slic, slic_prob_fg, centres, shape_model, shape_type='cdf',
         coef_data=1., coef_shape=1, coef_pairwise=2,
         prob_label_trans=(0.1, 0.03), optim_global=True, allow_obj_swap=True,
-        dict_thresholds=None, nb_iter=999, debug_history=None):
+        dict_thresholds=None, nb_iter=999, debug_history=None,
+        grid_cfg=None):
     """GraphCut RG2Sp (`region_growing.py:1482-1728`), solved per round as a
     clamped full-graph MRF on device: candidates keep their weighted
     data+shape costs restricted to neighbourhood labels, every other node is
-    hard-assigned its current label, and ``solve_mrf`` minimises the result."""
+    hard-assigned its current label, and ``solve_mrf`` minimises the result.
+
+    ``grid_cfg`` (a :class:`~pyimsegm_tpu.ops.slic.SlicConfig` whose grid
+    produced ``slic``) routes the per-iteration solves through the dense
+    25-neighbour grid formulation (:func:`ops.grid.solve_mrf_grid` over
+    :func:`ops.grid.wgrid_from_edges`) — no per-iteration edge scatters."""
     slic = np.asarray(slic)
     if len(slic_prob_fg) < np.max(slic):
         raise ValueError('dims of probs %s and slic %s not match'
@@ -834,6 +840,12 @@ def region_growing_shape_slic_graphcut(
     pairwise = np.minimum(pairwise, MAX_PAIRWISE_COST)
     min_unary = -np.log(MAX_UNARY_PROB)
 
+    wgrid = None
+    if grid_cfg is not None and grid_cfg.n_segments == k:
+        from pyimsegm_tpu.ops.grid import solve_mrf_grid, wgrid_from_edges
+        wgrid = wgrid_from_edges(edges_j, evalid_j,
+                                 jnp.asarray(edge_w, jnp.float32), grid_cfg)
+
     def _solve_clamped(labels, cand_any, cand_cls):
         unary = np.full((k, nb_obj + 1), GC_REPLACE_INF)
         cost = (coef_data * lut_data_cost + coef_shape * lut_shape_cost) \
@@ -850,13 +862,22 @@ def region_growing_shape_slic_graphcut(
         unary[rows] = GC_REPLACE_INF
         unary[rows, labels[rows]] = 0.0
         unary[unary < min_unary] = min_unary
-        # light expansion settings: the outer RG loop re-solves this band
-        # subgraph every iteration, so per-solve polish matters less than
-        # wall time
+        if wgrid is not None:
+            from pyimsegm_tpu.ops.grid import solve_mrf_grid
+            out = solve_mrf_grid(jnp.asarray(unary, jnp.float32), wgrid,
+                                 jnp.asarray(pairwise, jnp.float32),
+                                 grid_cfg, n_mf_iters=10, n_icm_iters=6)
+            return np.asarray(out).astype(int)
+        # light schedule: almost every node is hard-clamped (only the
+        # candidate band is free), so the full mean-field/expansion polish
+        # is wasted — the outer RG loop re-solves this subgraph every
+        # iteration anyway.  Schedule cut measured quality-neutral on the
+        # refrun RG2Sp recipe (QUALITY.md round 5) at ~3x less work.
         out = solve_mrf(jnp.asarray(unary, jnp.float32), edges_j,
                         jnp.asarray(edge_w, jnp.float32),
                         jnp.asarray(pairwise, jnp.float32),
-                        n_expand_rounds=3, n_chains=2)
+                        n_mf_iters=10, n_icm_iters=4, n_expand_rounds=2,
+                        n_move_steps=4, n_chains=2)
         return np.asarray(out).astype(int)
 
     for _ in range(nb_iter):

@@ -46,6 +46,8 @@ def main():
     model, cdfs = rg.transform_rays_model_cdf_mixture(list_rays)
     slic = superpixels.segment_slic_img2d(img, sp_size=15,
                                           relative_compact=0.2)
+    from pyimsegm_tpu.ops.slic import slic_config
+    grid_cfg = slic_config(img.shape[0], img.shape[1], 15)
     prob_fg = rg.compute_segm_prob_fg(slic, seg, [0.1, 0.9, 0.75, 0.9, 0.9])
 
     k, edges, evalid, centers_np, slic_weights = rg._graph_setup(slic)
@@ -106,7 +108,7 @@ def main():
     rg.region_growing_shape_slic_graphcut(
         slic, prob_fg, centres, (model, cdfs), 'cdf', coef_shape=5.,
         coef_pairwise=15., prob_label_trans=[0.1, 0.03], optim_global=True,
-        nb_iter=100, debug_history=history)
+        nb_iter=100, debug_history=history, grid_cfg=grid_cfg)
     dt = time.perf_counter() - t0
     n = max(len(history.get('labels', ())), 1)
     print('FULL: %.2f s / %d iters = %7.2f ms/iter' % (dt, n, dt / n * 1e3),
