@@ -226,8 +226,16 @@ def main():
     if '5' in cfgs:
         time_cfg5()
     out = os.path.join(_HERE, 'ref_walls.json')
+    merged = {}
+    if os.path.isfile(out):                      # merge with previous runs
+        with open(out) as fh:
+            for row in json.load(fh):
+                merged[row['metric']] = row
+    for row in RESULTS:
+        merged[row['metric']] = row
     with open(out, 'w') as fh:
-        json.dump(RESULTS, fh, indent=1)
+        json.dump(sorted(merged.values(), key=lambda r: r['metric']), fh,
+                  indent=1)
     print('# wrote %s' % out, file=sys.stderr)
 
 
