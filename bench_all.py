@@ -1,4 +1,4 @@
-"""Wall-clock benchmarks for ALL FIVE BASELINE.json configs on one chip.
+"""Wall-clock benchmarks for ALL BASELINE.json configs on one chip.
 
 `bench.py` remains the driver's single-line headline (config 3, batched
 throughput).  This harness adds the other four reference workloads
@@ -13,8 +13,10 @@ markdown summary to stderr:
 4. egg-center detection chain per image (`run_center_prediction` semantics)
 5. RG2Sp GraphCut region growing per iteration
    (`run_ovary_egg-segmentation` semantics)
+6. 3D gray pipeline + supervoxel kernel at 23.6 MVox bench scale
+   (`pipe_gray3d_slic_features_model_graphcut` semantics)
 
-Usage: ``python bench_all.py [--configs 1,2,4,5]``
+Usage: ``python bench_all.py [--configs 1,2,4,5,6]``
 """
 
 import glob

@@ -404,12 +404,16 @@ def _multi_update_kernel(lab_ref, c0_ref, scale_ref, out_ref,
 
         def shift_g(row, dj):
             # target column = tile + dj: shifted[:, c] = row[:, c - dj]
-            z = jnp.zeros((1, 1), jnp.float32)
-            if dj == 1:
-                return jnp.concatenate([z, row[:, :-1]], axis=1)
-            if dj == -1:
-                return jnp.concatenate([row[:, 1:], z], axis=1)
-            return row
+            # roll+mask instead of concatenate: Mosaic's vector lowering
+            # rejects the degenerate (1,1)+(1,gw-1) lane concat at some
+            # grid widths (observed at gw=16 on the r5 toolchain)
+            if dj == 0:
+                return row
+            n = row.shape[1]
+            rolled = pltpu.roll(row, dj % n, 1)
+            idx = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+            keep = idx >= dj if dj >= 0 else idx < n + dj
+            return jnp.where(keep, rolled, 0.0)
 
         maxblks = []
         for di in (-1, 0, 1):
