@@ -338,6 +338,26 @@ def bench_gray3d():
           {'wall_ms': round(dt * 1e3, 2),
            'note': 'end-to-end unsup 3D pipe incl. GMM fit + MRF'})
 
+    # device-side wall of the same jitted core (volume resident, output
+    # blocked on device): the wall above moves ~170 MB through the dev-rig
+    # tunnel (see QUALITY.md "single-image latency")
+    spec = pipelines._features_spec({'color': ['mean', 'std', 'energy']})
+
+    def run_core():
+        out = pipelines._pipe_gray3d_core(
+            volj, cfg=cfg, feats_spec=spec, nb_classes=2,
+            estim_model='GMM', gc_regul=0.1, compactness=m)
+        np.asarray(out.ravel()[0])
+
+    run_core()
+    t0 = time.perf_counter()
+    for _ in range(3):
+        run_core()
+    dt = (time.perf_counter() - t0) / 3
+    _emit('cfg6_gray3d_core_device', mvox / dt, 'MVox/s',
+          {'wall_ms': round(dt * 1e3, 2),
+           'note': 'jitted core, on-device in/out (excl. host link)'})
+
 
 def main():
     from bench import _enable_compile_cache
