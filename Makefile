@@ -1,6 +1,6 @@
 # Dev entry points (counterpart of the reference's Makefile).
 
-.PHONY: test test-fast test-tpu bench parity refrun native clean
+.PHONY: test test-fast test-tpu bench bench-all ref-walls docs parity refrun native clean
 
 test:
 	python -m pytest tests/ -q
@@ -16,6 +16,18 @@ test-tpu:
 
 bench:
 	python bench.py
+
+# all BASELINE configs (1,2,4,5,6 beyond the headline)
+bench-all:
+	python bench_all.py
+
+# measure the ACTUAL reference's CPU walls for the same recipes
+ref-walls:
+	python tools/refrun/time_reference.py
+
+# regenerate docs/api/ from docstrings
+docs:
+	JAX_PLATFORMS=cpu python tools/gen_api_docs.py
 
 # TPU-vs-CPU end-to-end ARS acceptance check (BASELINE: >= 0.98)
 parity:
