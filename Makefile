@@ -12,7 +12,8 @@ test-fast:
 # kernel-parity tests on the real chip (needs the TPU tunnel live)
 test-tpu:
 	PYIMSEGM_TEST_TPU=1 python -m pytest tests/test_grid_pallas.py \
-	    tests/test_enforce_pallas.py tests/test_slic_multi_pallas.py -q
+	    tests/test_enforce_pallas.py tests/test_connectivity_pallas.py \
+	    tests/test_slic_multi_pallas.py tests/test_slic3d_pallas.py -q
 
 bench:
 	python bench.py

@@ -784,6 +784,38 @@ def prepare_graphcut_variables(candidates, slic_points, slic_neighbours,
     return vertexes, e, edge_weights, unary, pairwise
 
 
+def _infer_grid_cfg(slic):
+    """Recover the SLIC grid geometry from a label map, if it is one.
+
+    Labels from this framework's default 2D SLIC satisfy the 3x3-tile
+    invariant for the ``slic_config`` that produced them; detecting it lets
+    every RG2Sp caller ride the dense grid MRF solve without plumbing the
+    config through the reference-shaped API.  Returns ``None`` for
+    non-grid maps (e.g. the dynamic-K compat mode), which keep the
+    edge-list solver.
+    """
+    import math
+
+    from pyimsegm_tpu.ops.slic import slic_config
+    h, w = slic.shape
+    k = int(np.max(slic)) + 1
+    if k <= 1:
+        return None
+    s0 = int(round(math.sqrt(h * w / k)))
+    for s in range(max(2, s0 - 2), s0 + 3):
+        cfg = slic_config(h, w, s)
+        if cfg.n_segments != k:
+            continue
+        gw, step = cfg.grid_w, cfg.step
+        ty = np.arange(h)[:, None] // step
+        tx = np.arange(w)[None, :] // step
+        ly = slic // gw
+        lx = slic - ly * gw
+        if (np.abs(ly - ty) <= 1).all() and (np.abs(lx - tx) <= 1).all():
+            return cfg
+    return None
+
+
 def region_growing_shape_slic_graphcut(
         slic, slic_prob_fg, centres, shape_model, shape_type='cdf',
         coef_data=1., coef_shape=1, coef_pairwise=2,
@@ -840,6 +872,8 @@ def region_growing_shape_slic_graphcut(
     pairwise = np.minimum(pairwise, MAX_PAIRWISE_COST)
     min_unary = -np.log(MAX_UNARY_PROB)
 
+    if grid_cfg is None:
+        grid_cfg = _infer_grid_cfg(slic)
     wgrid = None
     if grid_cfg is not None and grid_cfg.n_segments == k:
         from pyimsegm_tpu.ops.grid import solve_mrf_grid, wgrid_from_edges
